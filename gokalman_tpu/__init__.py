@@ -1,0 +1,36 @@
+"""gokalman_tpu — a TPU-native state-estimation (Kalman filtering) framework.
+
+A ground-up JAX/XLA/Pallas rebuild with the capabilities of
+ChristopherRabotin/gokalman: vanilla/information/square-root linear
+filters, SRIF and hybrid CKF/EKF nonlinear filters, batch least
+squares, Van Loan discretization, noise models, Monte-Carlo ensembles,
+chi-square (NEES/NIS) consistency tests, CSV export, and an orbital
+dynamics module for the orbit-determination workloads.
+
+Design stance (see SURVEY.md §7): filters are pure functions
+`step(model, state, inputs) -> (state, estimate)` over pytrees;
+sequences run under `lax.scan`; ensembles run under `vmap`/`shard_map`
+over a device mesh; the hot small-matrix algebra is fused by XLA with
+Pallas kernels as the native tier.
+"""
+
+from . import c2d, chisquare, exporter, linalg, montecarlo, noise, truth
+from .filters import batch, hybrid, information, sqrt, srif, vanilla
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "c2d",
+    "chisquare",
+    "exporter",
+    "linalg",
+    "montecarlo",
+    "noise",
+    "truth",
+    "vanilla",
+    "information",
+    "sqrt",
+    "srif",
+    "hybrid",
+    "batch",
+]

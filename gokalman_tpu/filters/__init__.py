@@ -1,0 +1,5 @@
+"""Filter implementations (the reference's L4 tier, SURVEY.md §1)."""
+
+from . import batch, hybrid, information, sqrt, srif, vanilla
+
+__all__ = ["vanilla", "information", "sqrt", "srif", "hybrid", "batch"]

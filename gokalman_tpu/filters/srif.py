@@ -1,0 +1,227 @@
+"""Square-root information filter (SRIF) for nonlinear systems, TPU-first.
+
+Rebuild of the reference SRIF (reference: srif.go:14-340; algorithms
+from Tapley, Schutz & Born "Statistical Orbit Determination"): the
+state is carried as (R, b) with x = R^{-1} b and P = R^{-1} R^{-T}.
+
+- the Prepare/locked handshake (srif.go:82-86, 102-104) disappears:
+  Φ and H̃ are explicit arguments to the pure update functions;
+- the measurement update stacks A = [[R̄, b̄], [H̃, y]] and runs the
+  Householder triangularization (srif.go:298-340), which here is the
+  vectorized masked-rank-1 kernel in linalg.householder_triangularize;
+- `non_tri_r=True` skips the time-update re-triangularization of
+  [R̄ | b̄] (srif.go:121-132) — a static flag, two compiled variants;
+- process noise is unsupported, as in the reference (srif.go:77-79).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import linalg
+from ..noise import Noise
+
+
+class Model(NamedTuple):
+    sqrt_inv_noise: jax.Array  # [p, p] whitening matrix chol(R)^{-1} (srif.go:38-45)
+    meas_size: int
+    non_tri_r: bool  # static: skip Householder re-triangularization of R̄
+
+
+class State(NamedTuple):
+    r: jax.Array  # [n, n] square-root information matrix
+    b: jax.Array  # [n] square-root information state
+    k: jax.Array  # [] int32
+
+
+class Estimate(NamedTuple):
+    """SRIF estimate (reference: srif.go:196-295)."""
+
+    phi: jax.Array  # STM used this step (kept for smoothing, srif.go:197)
+    sqinfo_state: jax.Array  # b
+    measurement: jax.Array  # real observation
+    obs_dev: jax.Array  # whitened observation deviation (srif.go:247-249)
+    r: jax.Array  # R_k
+    pred_r: jax.Array  # R̄_k
+
+    @property
+    def state(self) -> jax.Array:
+        """x = R^{-1} b (srif.go:223-234)."""
+        return jnp.linalg.solve(self.r, self.sqinfo_state[..., None])[..., 0]
+
+    @property
+    def innovation(self) -> jax.Array:
+        # The reference returns b as "innovation" (srif.go:237-239).
+        return self.sqinfo_state
+
+    @property
+    def covariance(self) -> jax.Array:
+        """P = R^{-1} R^{-T} (srif.go:252-265)."""
+        rinv = jnp.linalg.inv(self.r)
+        return rinv @ jnp.swapaxes(rinv, -1, -2)
+
+    @property
+    def pred_covariance(self) -> jax.Array:
+        rinv = jnp.linalg.inv(self.pred_r)
+        return rinv @ jnp.swapaxes(rinv, -1, -2)
+
+    def within_nsigma(self, n_sigma) -> jax.Array:
+        return linalg.is_within_nsigma(self.state, self.covariance, n_sigma)
+
+
+def new(x0, p0, meas_size: int, non_tri_r: bool, noise: Noise):
+    """Build (Model, State, Estimate0).
+
+    I0 inverts the *diagonal* of P0 elementwise (the reference documents
+    P0 as always diagonal, srif.go:22-26); R0 = chol(I0)^T (upper) and
+    b0 = R0 x0 (srif.go:27-35).  The whitening matrix is chol(R)^{-1}
+    (srif.go:38-45).
+    """
+    x0 = jnp.asarray(x0)
+    p0 = jnp.asarray(p0)
+    linalg.check_dims((x0.shape[0], 1), p0.shape, "x0", "P0", "rows2cols")
+    i0 = jnp.diag(1.0 / jnp.diag(p0))
+    r0 = jnp.linalg.cholesky(i0).T  # upper; diagonal here, same as reference
+    b0 = r0 @ x0
+    sqrt_meas = jnp.linalg.cholesky(noise.r)
+    sqrt_inv = jnp.linalg.inv(sqrt_meas)
+    model = Model(sqrt_inv, meas_size, non_tri_r)
+    p = meas_size
+    est0 = Estimate(
+        phi=jnp.eye(x0.shape[0], dtype=x0.dtype),
+        sqinfo_state=b0,
+        measurement=jnp.zeros((p,), dtype=x0.dtype),
+        obs_dev=jnp.zeros((p,), dtype=x0.dtype),
+        r=r0,
+        pred_r=r0,
+    )
+    return model, State(r0, b0, jnp.int32(0)), est0
+
+
+def measurement_update(r, h, b, y):
+    """Stack A = [[R, b], [H, y]] and Householder-triangularize.
+
+    Returns (Rk, bk, ek) (reference: measurementSRIFUpdate srif.go:298-340).
+    """
+    r = jnp.asarray(r)
+    h = jnp.asarray(h)
+    b = jnp.asarray(b)
+    y = jnp.asarray(y)
+    n = b.shape[-1]
+    m = y.shape[-1]
+    linalg.check_dims(r.shape, h.shape, "R", "H", "cols2cols")
+    a0 = jnp.concatenate([r, h], axis=0)  # [(n+m), n]
+    rhs = jnp.concatenate([b, y], axis=0)[:, None]  # [(n+m), 1]
+    a = jnp.concatenate([a0, rhs], axis=1)
+    a = linalg.householder_triangularize(a, n, m)
+    return a[:n, :n], a[:n, n], a[n:, n]
+
+
+def _time_update(model: Model, state: State, phi):
+    """R̄ = R Φ^{-1}, b̄ = R̄ Φ x̂ (srif.go:111-119), with optional
+    re-triangularization of [R̄ | b̄] (srif.go:121-132)."""
+    phi_inv = jnp.linalg.inv(phi)
+    r_bar = state.r @ phi_inv
+    x_hat = jnp.linalg.solve(state.r, state.b)
+    b_bar = r_bar @ (phi @ x_hat)
+    if not model.non_tri_r:
+        n = b_bar.shape[0]
+        a = jnp.concatenate([r_bar, b_bar[:, None]], axis=1)
+        a = linalg.householder_triangularize(a, n, 0)
+        r_bar = a[:, :n]
+        b_bar = a[:, n]
+    return r_bar, b_bar
+
+
+def predict(model: Model, state: State, phi):
+    """Pure time update (reference: srif.go:96-98, 134-141)."""
+    r_bar, b_bar = _time_update(model, state, phi)
+    p = model.meas_size
+    est = Estimate(
+        phi=jnp.asarray(phi),
+        sqinfo_state=b_bar,
+        measurement=jnp.zeros((p,), dtype=b_bar.dtype),
+        obs_dev=jnp.zeros((p,), dtype=b_bar.dtype),
+        r=r_bar,
+        pred_r=r_bar,
+    )
+    return State(r_bar, b_bar, state.k + 1), est
+
+
+def update(model: Model, state: State, phi, htilde, real_obs, computed_obs):
+    """Full time + measurement update (reference: srif.go:101-160)."""
+    r_bar, b_bar = _time_update(model, state, phi)
+    y = jnp.asarray(real_obs) - jnp.asarray(computed_obs)
+    h_w = model.sqrt_inv_noise @ jnp.asarray(htilde)
+    y_w = model.sqrt_inv_noise @ y
+    rk, bk, _ek = measurement_update(r_bar, h_w, b_bar, y_w)
+    est = Estimate(
+        phi=jnp.asarray(phi),
+        sqinfo_state=bk,
+        measurement=jnp.asarray(real_obs),
+        obs_dev=y_w,
+        r=rk,
+        pred_r=r_bar,
+    )
+    return State(rk, bk, state.k + 1), est
+
+
+def step(model: Model, state: State, phi, htilde, real_obs, computed_obs, has_meas):
+    """Masked update: one compiled step that predicts when has_meas is
+    False and updates when True — the scan-with-cond form of the
+    reference's Predict/Update pair for measurement-gap handling."""
+    st_u, est_u = update(model, state, phi, htilde, real_obs, computed_obs)
+    st_p, est_p = predict(model, state, phi)
+    pick = lambda a, b: jnp.where(has_meas, a, b)
+    return jax.tree.map(pick, st_u, st_p), jax.tree.map(pick, est_u, est_p)
+
+
+def run(model: Model, state: State, phis, htildes, real_obs, computed_obs, has_meas):
+    """Scan the masked step over a trajectory of prepared (Φ, H̃) inputs."""
+
+    def body(carry, xs):
+        return step(model, carry, *xs)
+
+    return jax.lax.scan(body, state, (phis, htildes, real_obs, computed_obs, has_meas))
+
+
+def smooth_all(estimates: Estimate) -> Estimate:
+    """Backward smoother (reference: SmoothAll srif.go:165-192):
+    x̂_k = Φ_{k+1}^{-1} x̂_{k+1}, P_k = Φ^{-1} P_{k+1} Φ^{-T}, as a
+    reverse lax.scan over the stacked estimate pytree.  Returns
+    estimates with smoothed state folded back in via (R, b) such that
+    state/covariance reproduce the smoothed values.
+    """
+    phis = estimates.phi  # [T, n, n]
+    states = jax.vmap(lambda e: e.state)(estimates)  # via property: [T, n]
+    covs = estimates.covariance  # [T, n, n]
+
+    def body(carry, xs):
+        x_next, p_next = carry
+        phi_next, x_k, p_k, is_last = xs
+        s = jnp.linalg.inv(phi_next)
+        x_sm = s @ x_next
+        p_sm = s @ p_next @ s.T
+        x_out = jnp.where(is_last, x_k, x_sm)
+        p_out = jnp.where(is_last, p_k, p_sm)
+        return (x_out, p_out), (x_out, p_out)
+
+    t = phis.shape[0]
+    is_last = jnp.arange(t) == (t - 1)
+    # phi at k+1 drives the map from k+1 -> k: shift phis left by one.
+    phi_next = jnp.roll(phis, -1, axis=0)
+    init = (states[-1], covs[-1])
+    _, (xs_sm, ps_sm) = jax.lax.scan(
+        body, init, (phi_next, states, covs, is_last), reverse=True
+    )
+    # Re-encode smoothed (x, P) as (R, b): R = chol(P^{-1})^T, b = R x.
+    def encode(x, p):
+        info = jnp.linalg.inv(p)
+        r = jnp.linalg.cholesky(linalg.sym(info)).T
+        return r, r @ x
+
+    rs, bs = jax.vmap(encode)(xs_sm, ps_sm)
+    return estimates._replace(r=rs, pred_r=rs, sqinfo_state=bs)

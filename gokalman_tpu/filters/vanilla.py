@@ -1,0 +1,204 @@
+"""Vanilla (classic) discrete Kalman filter, TPU-first.
+
+Rebuild of the reference CKF (reference: vanilla.go:21-284) as pure
+functions over pytrees:
+
+- the mutable `Vanilla` struct (vanilla.go:65-74) becomes an immutable
+  `(Model, State)` pair; `Update` becomes `step(model, state, inputs)`
+  returning a fresh `(State, Estimate)`;
+- the user's per-measurement Go loop (README.md:14-22) becomes
+  `run(...)` — a single `lax.scan` over the time axis, jitted once;
+- `NewPurePredictorVanilla` (vanilla.go:43-62) is `prediction_only=True`
+  (a static flag, so XLA compiles a branch-free predictor);
+- the scalar-measurement special case (vanilla.go:185-190) disappears:
+  batched linalg handles p=1 uniformly;
+- AsSymDense's O(n^2) per-step symmetry *check* (vanilla.go:207-215)
+  becomes an O(n^2) symmetrization — same cost, better numerics, and
+  no data-dependent failure inside jit.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .. import linalg
+from ..noise import Noise, measurement_sample, process_sample
+
+
+class Model(NamedTuple):
+    """Time-invariant CKF model {F, G, H, noise}.
+
+    Time-varying systems pass per-step (H_k, R_k, ...) through `run`'s
+    scanned inputs instead of mutating the model (the reference mutates
+    via SetMeasurementMatrix mid-stream, examples/jerkcar/main.go:141-158).
+    """
+
+    f: jax.Array  # [n, n] state transition
+    g: Optional[jax.Array]  # [n, m] control matrix or None
+    h: jax.Array  # [p, n] measurement matrix
+    noise: Noise
+
+
+class State(NamedTuple):
+    x: jax.Array  # [n] state estimate
+    p: jax.Array  # [n, n] covariance
+    k: jax.Array  # [] int32 step counter
+
+
+class Estimate(NamedTuple):
+    """Per-step output record (reference: vanilla.go:224-284)."""
+
+    state: jax.Array  # \hat{x}_{k+1}^{+}
+    measurement: jax.Array  # \hat{y}_{k} = H x_k (+ v)
+    innovation: jax.Array  # y_{k} - H \hat{x}_{k+1}^{-}
+    covariance: jax.Array  # P_{k+1}^{+}
+    pred_covariance: jax.Array  # P_{k+1}^{-}
+    gain: jax.Array  # K_{k+1}
+
+    def within_nsigma(self, n_sigma) -> jax.Array:
+        """IsWithinNσ (reference: vanilla.go:231-239)."""
+        return linalg.is_within_nsigma(self.state, self.covariance, n_sigma)
+
+
+def new(x0, p0, f, g, h, noise: Noise):
+    """Build (Model, State) with trace-time dim checks (vanilla.go:21-40)."""
+    x0 = jnp.asarray(x0)
+    p0 = jnp.asarray(p0)
+    f = jnp.asarray(f)
+    h = jnp.asarray(h)
+    g = None if g is None or linalg.is_nil(g) else jnp.asarray(g)
+    linalg.check_dims((x0.shape[0], 1), p0.shape, "x0", "P0", "rows2cols")
+    linalg.check_dims(f.shape, p0.shape, "F", "P0", "rows2cols")
+    linalg.check_dims(h.shape, (x0.shape[0], 1), "H", "x0", "cols2rows")
+    return Model(f, g, h, noise), State(x0, p0, jnp.int32(0))
+
+
+def predict(model: Model, state: State, control=None, w=None):
+    """Time update: x^- = F x (+ G u + w), P^- = F P F^T + Q.
+
+    Reference: vanilla.go:138-152.
+    """
+    x = model.f @ state.x
+    if model.g is not None and control is not None:
+        x = x + model.g @ control
+    if w is not None:
+        x = x + w
+    p = linalg.sym(model.f @ state.p @ model.f.T + model.noise.q)
+    return x, p
+
+
+def gain(model: Model, p_pred: jax.Array) -> jax.Array:
+    """K = P^- H^T (H P^- H^T + R)^{-1} (reference: vanilla.go:160-168)."""
+    pht = p_pred @ model.h.T
+    s = model.h @ pht + model.noise.r
+    return linalg.solve_psd(s, pht.T).T
+
+
+def joseph_update(p_pred, k_gain, h, r):
+    """Joseph-form P^+ = (I-KH) P^- (I-KH)^T + K R K^T (vanilla.go:197-205)."""
+    n = p_pred.shape[-1]
+    ikh = jnp.eye(n, dtype=p_pred.dtype) - k_gain @ h
+    return linalg.sym(ikh @ p_pred @ ikh.T + k_gain @ r @ k_gain.T)
+
+
+def step(
+    model: Model,
+    state: State,
+    measurement=None,
+    control=None,
+    w=None,
+    w2=None,
+    v=None,
+    prediction_only: bool = False,
+):
+    """One full CKF update (reference: vanilla.go:128-220).
+
+    `w`/`w2`/`v` are explicit noise draws: the reference calls
+    Noise.Process(k) both in the prediction (vanilla.go:146) and after
+    the measurement update (vanilla.go:195), and Noise.Measurement(k)
+    for the estimated measurement (vanilla.go:157).  Passing None means
+    zero (Noiseless).  `prediction_only` is static — the pure-predictor
+    variant compiles without the measurement branch (vanilla.go:170-179).
+    """
+    x_pred, p_pred = predict(model, state, control, w)
+    # Estimated measurement from the *previous* state (vanilla.go:155-157).
+    y_hat = model.h @ state.x
+    if v is not None:
+        y_hat = y_hat + v
+    k_gain = gain(model, p_pred)
+
+    if prediction_only:
+        p = x_pred.shape[0] if model.h is None else model.h.shape[0]
+        est = Estimate(
+            state=x_pred,
+            measurement=y_hat,
+            innovation=jnp.zeros_like(y_hat),
+            covariance=p_pred,
+            pred_covariance=p_pred,
+            gain=k_gain,
+        )
+        return State(x_pred, p_pred, state.k + 1), est
+
+    innovation = measurement - model.h @ x_pred
+    x = x_pred + k_gain @ innovation
+    if w2 is not None:
+        x = x + w2
+    p = joseph_update(p_pred, k_gain, model.h, model.noise.r)
+    est = Estimate(
+        state=x,
+        measurement=y_hat,
+        innovation=innovation,
+        covariance=p,
+        pred_covariance=p_pred,
+        gain=k_gain,
+    )
+    return State(x, p, state.k + 1), est
+
+
+def run(
+    model: Model,
+    state: State,
+    measurements=None,
+    controls=None,
+    key=None,
+    ws=None,
+    ws2=None,
+    vs=None,
+    steps: Optional[int] = None,
+    prediction_only: bool = False,
+):
+    """Scan `step` over the time axis (the README.md:14-22 loop, fused).
+
+    measurements: [T, p] or None; controls: [T, m] or None;
+    ws/ws2/vs: [T, n]/[T, n]/[T, p] pre-recorded noise (BatchNoise,
+    noise.go:67-106) or None; key: PRNG key enabling AWGN draws.
+    Returns (final_state, stacked Estimates with leading T axis).
+    """
+    if steps is None:
+        for arr in (measurements, controls, ws, vs):
+            if arr is not None:
+                steps = jnp.shape(arr)[0]
+                break
+    if steps is None:
+        raise ValueError("cannot infer step count: pass `steps` or an input array")
+
+    keys = None if key is None else jax.random.split(key, steps)
+
+    def body(carry, xs):
+        meas, ctrl, w, w2, v, k = xs
+        if k is not None:
+            kw, kw2, kv = jax.random.split(k, 3)
+            w = process_sample(model.noise, kw) if w is None else w
+            w2 = process_sample(model.noise, kw2) if w2 is None else w2
+            v = measurement_sample(model.noise, kv) if v is None else v
+        new_state, est = step(
+            model, carry, meas, ctrl, w, w2, v, prediction_only=prediction_only
+        )
+        return new_state, est
+
+    xs = (measurements, controls, ws, ws2, vs, keys)
+    final, ests = jax.lax.scan(body, state, xs, length=steps)
+    return final, ests

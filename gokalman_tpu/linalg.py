@@ -1,0 +1,195 @@
+"""Small-matrix linear algebra for TPU-native state estimation.
+
+This is the TPU rebuild of the reference's helper tier (reference:
+helper.go:13-172).  Everything here is a pure, jittable, vmappable
+function over statically-shaped jnp arrays.  The mutable gonum idioms
+(in-place Householder, SymDense conversion-with-check) become
+functional transforms; dimension checks become Python-time (trace-time)
+assertions since shapes are static under XLA.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def identity(n: int, dtype=None) -> jax.Array:
+    """Identity matrix (reference: helper.go:44)."""
+    return jnp.eye(n, dtype=dtype)
+
+
+def scaled_identity(n: int, s, dtype=None) -> jax.Array:
+    """s * I_n (reference: helper.go:13)."""
+    return jnp.eye(n, dtype=dtype) * s
+
+
+def is_nil(m) -> bool:
+    """Whether a matrix is None or all-zero (reference: helper.go:49-62).
+
+    Python-time helper: used to decide statically whether a control path
+    participates in the traced computation at all.
+    """
+    if m is None:
+        return True
+    import numpy as np
+
+    return not np.any(np.asarray(m))
+
+
+def sym(a: jax.Array) -> jax.Array:
+    """Symmetrize: (A + A^T)/2.
+
+    Replaces the reference's AsSymDense *check* (helper.go:65-84) on the
+    hot path: under jit we cannot raise data-dependently, and the
+    numerically right move for a covariance that drifted off-symmetric
+    is to project it back.
+    """
+    return 0.5 * (a + jnp.swapaxes(a, -1, -2))
+
+
+def is_symmetric(a, atol: float = 1e-6, rtol: float = 1e-2) -> bool:
+    """Host-side symmetry check mirroring helper.go:75 tolerances."""
+    import numpy as np
+
+    a = np.asarray(a)
+    if a.shape[-1] != a.shape[-2]:
+        return False
+    at = np.swapaxes(a, -1, -2)
+    return bool(np.all(np.abs(a - at) <= atol + rtol * np.abs(at)))
+
+
+def check_dims(shape1, shape2, name1: str, name2: str, method: str) -> None:
+    """Static dimension-agreement check (reference: helper.go:99-130).
+
+    Since XLA shapes are static, this runs at trace time and raises a
+    plain ValueError, giving the same fail-fast behavior as the
+    reference's constructor checks.
+    """
+    r1, c1 = shape1
+    r2, c2 = shape2
+    msg = f"dimensions must agree: {name1}({r1}x{c1}) {name2}({r2}x{c2}) [{method}]"
+    ok = {
+        "rows2cols": r1 == c2,
+        "cols2rows": c1 == r2,
+        "cols2cols": c1 == c2,
+        "rows2rows": r1 == r2,
+        "rowsAndcols": (r1 == r2) and (c1 == c2),
+    }[method]
+    if not ok:
+        raise ValueError(msg)
+
+
+def _mat_shape(x) -> tuple:
+    """Shape of a vector-or-matrix as (rows, cols), column-vector style."""
+    if x is None:
+        return (0, 0)
+    shape = jnp.shape(x)
+    if len(shape) == 1:
+        return (shape[0], 1)
+    return shape[-2:]
+
+
+def sign_db(v: jax.Array, deadband: float = 1e-12) -> jax.Array:
+    """Sign with a deadband mapping |v|<=1e-12 to +1 (reference: helper.go:133-138)."""
+    return jnp.where(jnp.abs(v) <= deadband, jnp.ones_like(v), jnp.sign(v))
+
+
+@functools.partial(jax.jit, static_argnames=("n", "m"))
+def householder_triangularize(a: jax.Array, n: int, m: int) -> jax.Array:
+    """Householder triangularization of the top-left n columns of A.
+
+    TPU-native rewrite of the reference's in-place elementwise kernel
+    (helper.go:142-172): each of the n reflection steps is expressed as
+    one masked rank-1 update over the whole (n+m, c) block, so the inner
+    loops vectorize onto the VPU and the function vmaps cleanly over a
+    leading batch axis.  `n` is the number of columns to eliminate, `m`
+    the number of extra rows (A has n+m rows and at least n+1 columns).
+
+    Matches the reference bit-for-bit on its sign convention:
+    sigma = sign(A[k,k]) * ||A[k:,k]||, diag set to -sigma.
+    """
+    rows = n + m
+    if a.shape[-2] != rows:
+        raise ValueError(f"A must have n+m={rows} rows, got {a.shape}")
+    row_idx = jnp.arange(rows, dtype=jnp.int32)
+
+    def body(k, a):
+        col = a[:, k]
+        mask = row_idx >= k
+        akk = a[k, k]
+        sigma = jnp.sqrt(jnp.sum(jnp.where(mask, col * col, 0.0))) * sign_db(akk)
+        # Householder vector: u_k = A[k,k] + sigma, u_i = A[i,k] for i>k.
+        u = jnp.where(row_idx == k, akk + sigma, jnp.where(mask, col, 0.0))
+        denom = sigma * (akk + sigma)
+        beta = jnp.where(denom == 0.0, 0.0, 1.0 / denom)
+        gammas = beta * (u @ a)  # [cols]; for already-eliminated columns this is 0
+        a = a - jnp.outer(u, gammas)
+        # The eliminated column is exactly [-sigma; 0...] by construction;
+        # write it explicitly so no 1e-14 rank-1-update residue survives
+        # (the reference also stores these exactly, helper.go:151, 167-169).
+        newcol = jnp.where(row_idx == k, -sigma, jnp.where(mask, 0.0, a[:, k]))
+        return a.at[:, k].set(newcol)
+
+    return jax.lax.fori_loop(0, n, body, a) if n > 8 else _unrolled(body, n, a)
+
+
+def _unrolled(body, n, a):
+    for k in range(n):
+        a = body(k, a)
+    return a
+
+
+def qr_r(a: jax.Array) -> jax.Array:
+    """Upper-triangular R factor of a QR decomposition.
+
+    The square-root filters only ever need R (the reference extracts
+    RFromQR, squareroot.go:179, 222); XLA's QR on small static shapes
+    fuses well and the Q factor is dead code the compiler removes.
+    """
+    return jnp.linalg.qr(a, mode="r")
+
+
+def chol_lower(a: jax.Array) -> jax.Array:
+    """Lower Cholesky factor, L L^T = A (reference uses LFromCholesky)."""
+    return jnp.linalg.cholesky(a)
+
+
+def solve_tri_lower(l: jax.Array, b: jax.Array) -> jax.Array:
+    return jax.scipy.linalg.solve_triangular(l, b, lower=True)
+
+
+def solve_tri_upper(u: jax.Array, b: jax.Array) -> jax.Array:
+    return jax.scipy.linalg.solve_triangular(u, b, lower=False)
+
+
+def inv_tri_upper(u: jax.Array) -> jax.Array:
+    return solve_tri_upper(u, jnp.eye(u.shape[-1], dtype=u.dtype))
+
+
+def solve_psd(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Solve A x = b for symmetric positive-definite A via Cholesky."""
+    l = jnp.linalg.cholesky(a)
+    y = jax.scipy.linalg.solve_triangular(l, b, lower=True)
+    return jax.scipy.linalg.solve_triangular(l.T, y, lower=False)
+
+
+def inv_psd(a: jax.Array) -> jax.Array:
+    return solve_psd(a, jnp.eye(a.shape[-1], dtype=a.dtype))
+
+
+def quadratic_form(v: jax.Array, a: jax.Array) -> jax.Array:
+    """v^T A v for a single vector (vmappable for batches)."""
+    return v @ (a @ v)
+
+
+def is_within_nsigma(state: jax.Array, covar: jax.Array, n_sigma) -> jax.Array:
+    """Whether every component of `state` lies within n_sigma * sqrt(diag(P)).
+
+    Reference: vanilla.go:231-239 (same logic repeated in every
+    estimate type).  Returns a traced bool; batched inputs broadcast.
+    """
+    bound = n_sigma * jnp.sqrt(jnp.diagonal(covar, axis1=-2, axis2=-1))
+    return jnp.all(jnp.abs(state) <= bound, axis=-1)

@@ -1,0 +1,84 @@
+"""Ground-truth comparator and CSV exporter tests."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from gokalman_tpu import truth as gt
+from gokalman_tpu.exporter import CSVExporter, new_csv_exporter
+from gokalman_tpu.filters.vanilla import Estimate
+
+
+def _est(x, p=None):
+    x = jnp.asarray(x)
+    n = x.shape[0]
+    p = jnp.eye(n) if p is None else p
+    return Estimate(x, jnp.zeros(1), jnp.zeros(1), p, p, jnp.zeros((n, 1)))
+
+
+def test_error_with_offset():
+    states = jnp.array([[1.0, 2.0], [3.0, 4.0]])
+    meas = jnp.array([[0.5], [0.5]])
+    bt = gt.BatchGroundTruth(states, meas)
+    est = _est([1.5, 2.5])._replace(measurement=jnp.array([1.0]))
+    err = gt.error(bt, 0, est)
+    np.testing.assert_allclose(np.asarray(err.state), [0.5, 0.5])
+    np.testing.assert_allclose(np.asarray(err.measurement), [0.5])
+    err2 = gt.error(bt, 1, est, offset=jnp.array([1.0, 1.0]))
+    np.testing.assert_allclose(np.asarray(err2.state), [-0.5, -0.5])
+    # Covariance preserved (truth.go:59).
+    np.testing.assert_allclose(np.asarray(err.covariance), np.eye(2))
+    # k < 0 -> zeros (truth.go:23-27).
+    err3 = gt.error(bt, -1, est)
+    np.testing.assert_allclose(np.asarray(err3.state), 0.0)
+
+
+def test_error_all_batched():
+    t = 5
+    states = jnp.arange(t * 2, dtype=float).reshape(t, 2)
+    bt = gt.BatchGroundTruth(states, None)
+    ests = Estimate(
+        states + 1.0,
+        jnp.zeros((t, 1)),
+        jnp.zeros((t, 1)),
+        jnp.broadcast_to(jnp.eye(2), (t, 2, 2)),
+        jnp.broadcast_to(jnp.eye(2), (t, 2, 2)),
+        jnp.zeros((t, 2, 1)),
+    )
+    err = gt.error_all(bt, ests)
+    np.testing.assert_allclose(np.asarray(err.state), 1.0)
+
+
+def test_csv_exporter(tmp_path):
+    e = new_csv_exporter(["x", "_t", "v"], str(tmp_path), "out.csv")
+    est = _est([1.0, 2.0], p=jnp.diag(jnp.array([4.0, 9.0])))
+    e.write(est)
+    e.close()
+    lines = (tmp_path / "out.csv").read_text().strip().split("\n")
+    assert lines[0].startswith("# Creation date (UTC):")
+    # `_t` header loses its bound columns (exporter.go:74-76).
+    assert lines[1] == "x,x+2s,x-2s,t,v,v+2s,v-2s"
+    vals = lines[2].split(",")
+    assert float(vals[0]) == 1.0
+    assert float(vals[1]) == 4.0  # 2 * sqrt(4)
+    assert float(vals[2]) == -4.0
+    assert lines[-1].startswith("# Closing date (UTC):")
+
+
+def test_csv_write_all(tmp_path):
+    t = 4
+    ests = Estimate(
+        jnp.ones((t, 2)),
+        jnp.zeros((t, 1)),
+        jnp.zeros((t, 1)),
+        jnp.broadcast_to(jnp.eye(2), (t, 2, 2)),
+        jnp.broadcast_to(jnp.eye(2), (t, 2, 2)),
+        jnp.zeros((t, 2, 1)),
+    )
+    with CSVExporter(["a", "b"], str(tmp_path), "all.csv", covar_bound=3.0) as e:
+        e.write_all(ests)
+    lines = (tmp_path / "all.csv").read_text().strip().split("\n")
+    data = [l for l in lines if not l.startswith("#") and not l[0].isalpha()]
+    assert len(data) == t
+    assert data[0] == "1.000000,3.000000,-3.000000,1.000000,3.000000,-3.000000"

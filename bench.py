@@ -1,0 +1,98 @@
+"""Headline benchmark: 100k-ensemble 6-state CKF Monte-Carlo + chi-square.
+
+North-star metric from BASELINE.md: batched filter steps/sec/chip for a
+100k-filter, 6-state CKF Monte-Carlo ensemble, target > 1e8 on one TPU
+chip.  One "filter step" = one (run, time-step) pair; each step here
+performs strictly more work than the reference's pure-predictor loop —
+it fuses AWGN truth generation, a full noiseless CKF replay update, and
+the NEES/NIS consistency statistics (the SURVEY.md §3.2 pipeline),
+so the count is conservative.
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+
+import gokalman_tpu as gk
+
+BASELINE_STEPS_PER_SEC = 1e8  # BASELINE.md rebuild target
+
+SAMPLES = 100_000
+STEPS = 1_000
+DTYPE = jnp.float32
+
+
+def make_model():
+    """6-state 3D constant-velocity tracker, H = position, discretized
+    with Van Loan (the 6x6 statOD-scale system of BASELINE.md)."""
+    dt = 0.1
+    i3 = jnp.eye(3, dtype=DTYPE)
+    z3 = jnp.zeros((3, 3), dtype=DTYPE)
+    a = jnp.block([[z3, i3], [z3, z3]])
+    gamma = jnp.concatenate([z3, i3], axis=0)
+    w = 0.02 * i3
+    f, q, _ = gk.c2d.van_loan(a, gamma, w, dt, check_nyquist=False)
+    f = f.astype(DTYPE)
+    q = q.astype(DTYPE)
+    h = jnp.concatenate([i3, z3], axis=1)
+    r = 0.5 * i3
+    x0 = jnp.zeros(6, dtype=DTYPE)
+    p0 = jnp.eye(6, dtype=DTYPE)
+    return gk.vanilla.new(x0, p0, f, None, h, gk.noise.awgn(q, r))
+
+
+def main():
+    model, state0 = make_model()
+
+    @jax.jit
+    def pipeline(key):
+        # lagged_measurements=False: the physically consistent MC test
+        # (NEES calibrates to exactly n) — see ops/ensemble.py on the
+        # reference's one-step measurement lag quirk.
+        return gk.ops.ensemble.mc_chi_square(
+            model, state0, SAMPLES, STEPS, key,
+            init_spread=True, lagged_measurements=False,
+        )
+
+    # Warm-up / compile.
+    res = pipeline(jax.random.PRNGKey(0))
+    jax.block_until_ready(res)
+
+    # Sanity: consistency statistics must be in range or the speed is
+    # meaningless.
+    nees_tail = float(jnp.mean(res.nees_means[STEPS // 2 :]))
+    nis_tail = float(jnp.mean(res.nis_means[STEPS // 2 :]))
+    assert 5.0 < nees_tail < 7.0, f"NEES {nees_tail} out of range (expect ~6)"
+    assert 2.5 < nis_tail < 3.5, f"NIS {nis_tail} out of range (expect ~3)"
+
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        out = pipeline(jax.random.PRNGKey(i + 1))
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+
+    best = min(times)
+    steps_per_sec = SAMPLES * STEPS / best
+    print(
+        json.dumps(
+            {
+                "metric": "ckf_mc_chi_square_steps_per_sec",
+                "value": steps_per_sec,
+                "unit": "filter_steps/s",
+                "vs_baseline": steps_per_sec / BASELINE_STEPS_PER_SEC,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -14,7 +14,7 @@ over a device mesh; the hot small-matrix algebra is fused by XLA with
 Pallas kernels as the native tier.
 """
 
-from . import c2d, chisquare, exporter, linalg, montecarlo, noise, truth
+from . import c2d, chisquare, exporter, linalg, montecarlo, noise, ops, parallel, truth
 from .filters import batch, hybrid, information, sqrt, srif, vanilla
 
 __version__ = "0.1.0"
@@ -27,6 +27,8 @@ __all__ = [
     "montecarlo",
     "noise",
     "truth",
+    "ops",
+    "parallel",
     "vanilla",
     "information",
     "sqrt",

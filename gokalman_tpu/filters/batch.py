@@ -32,6 +32,7 @@ class Solution(NamedTuple):
     n_vec: jax.Array  # [n]
 
 
+@linalg.highp
 def accumulate(hs, weight, real_obs, computed_obs):
     """Λ and N from stacked measurements.
 
@@ -47,6 +48,7 @@ def accumulate(hs, weight, real_obs, computed_obs):
     return lam, n_vec
 
 
+@linalg.highp
 def solve(hs, weight, real_obs, computed_obs) -> Solution:
     """x̂0 = Λ^{-1} N, P0 = Λ^{-1} (reference: Solve batch.go:64-79)."""
     lam, n_vec = accumulate(hs, weight, real_obs, computed_obs)

@@ -70,6 +70,7 @@ def _p_bar(model: Model, state: State, phi, gamma):
     return linalg.sym(p_bar)
 
 
+@linalg.highp
 def predict(model: Model, state: State, phi, gamma=None, ekf=False):
     """Pure time update (reference: hybrid.go:125-143).
 
@@ -94,6 +95,7 @@ def predict(model: Model, state: State, phi, gamma=None, ekf=False):
     return State(x_bar, p_bar, state.k + 1), est
 
 
+@linalg.highp
 def update(
     model: Model,
     state: State,
@@ -138,6 +140,7 @@ def update(
     return State(x_hat, p, state.k + 1), est
 
 
+@linalg.highp
 def step(
     model: Model,
     state: State,
@@ -164,6 +167,7 @@ def step(
     return jax.tree.map(pick, st_u, st_p), jax.tree.map(pick, est_u, est_p)
 
 
+@linalg.highp
 def run(
     model: Model,
     state: State,
@@ -193,6 +197,7 @@ def run(
     return jax.lax.scan(body, state, xs)
 
 
+@linalg.highp
 def smooth_all(estimates: Estimate) -> Estimate:
     """Backward smoother (reference: SmoothAll hybrid.go:209-238):
     x_k <- Φ_{k+1}^{-1} x_{k+1}, P_k <- Φ^{-1} P_{k+1} Φ^{-T}.

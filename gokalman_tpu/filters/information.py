@@ -110,6 +110,7 @@ def new_from_state(x0, p0, f, g, h, noise: Noise):
     return new(i0, info0, f, g, h, noise)
 
 
+@linalg.highp
 def step(model: Model, state: State, measurement, control=None, v=None):
     """One information-filter update (reference: information.go:153-227)."""
     # z = F^{-T} I F^{-1} (information.go:163-165).
@@ -137,6 +138,7 @@ def step(model: Model, state: State, measurement, control=None, v=None):
     return State(i_plus, info_plus, state.k + 1), est
 
 
+@linalg.highp
 def run(model: Model, state: State, measurements, controls=None, key=None):
     """lax.scan driver over the time axis."""
     steps = jnp.shape(measurements)[0]

@@ -81,12 +81,14 @@ def new(x0, p0, f, g, h, noise: Noise):
     return Model(f, g, h, noise), State(x0, s0, jnp.int32(0))
 
 
+@linalg.highp
 def time_update_factor(model: Model, s: jax.Array) -> jax.Array:
     """S^- lower with S^- S^-T = F S S^T F^T + Q via QR (squareroot.go:155-185)."""
     c = jnp.concatenate([(model.f @ s).T, model.noise.sqrt_q.T], axis=0)
     return linalg.qr_r(c).T
 
 
+@linalg.highp
 def measurement_update_factors(model: Model, s_pred: jax.Array):
     """(S^+, Syy, W) from the (p+n) pre-array QR (squareroot.go:195-234)."""
     n = s_pred.shape[0]
@@ -103,6 +105,7 @@ def measurement_update_factors(model: Model, s_pred: jax.Array):
     return s_plus, syy, w
 
 
+@linalg.highp
 def step(model: Model, state: State, measurement, control=None, w2=None, v=None):
     """One square-root update (reference: squareroot.go:129-274).
 
@@ -139,6 +142,7 @@ def step(model: Model, state: State, measurement, control=None, w2=None, v=None)
     return State(x, s_plus, state.k + 1), est
 
 
+@linalg.highp
 def run(model: Model, state: State, measurements, controls=None, key=None):
     """lax.scan driver over the time axis."""
     steps = jnp.shape(measurements)[0]

@@ -101,6 +101,7 @@ def new(x0, p0, meas_size: int, non_tri_r: bool, noise: Noise):
     return model, State(r0, b0, jnp.int32(0)), est0
 
 
+@linalg.highp
 def measurement_update(r, h, b, y):
     """Stack A = [[R, b], [H, y]] and Householder-triangularize.
 
@@ -136,6 +137,7 @@ def _time_update(model: Model, state: State, phi):
     return r_bar, b_bar
 
 
+@linalg.highp
 def predict(model: Model, state: State, phi):
     """Pure time update (reference: srif.go:96-98, 134-141)."""
     r_bar, b_bar = _time_update(model, state, phi)
@@ -151,6 +153,7 @@ def predict(model: Model, state: State, phi):
     return State(r_bar, b_bar, state.k + 1), est
 
 
+@linalg.highp
 def update(model: Model, state: State, phi, htilde, real_obs, computed_obs):
     """Full time + measurement update (reference: srif.go:101-160)."""
     r_bar, b_bar = _time_update(model, state, phi)
@@ -169,6 +172,7 @@ def update(model: Model, state: State, phi, htilde, real_obs, computed_obs):
     return State(rk, bk, state.k + 1), est
 
 
+@linalg.highp
 def step(model: Model, state: State, phi, htilde, real_obs, computed_obs, has_meas):
     """Masked update: one compiled step that predicts when has_meas is
     False and updates when True — the scan-with-cond form of the
@@ -179,6 +183,7 @@ def step(model: Model, state: State, phi, htilde, real_obs, computed_obs, has_me
     return jax.tree.map(pick, st_u, st_p), jax.tree.map(pick, est_u, est_p)
 
 
+@linalg.highp
 def run(model: Model, state: State, phis, htildes, real_obs, computed_obs, has_meas):
     """Scan the masked step over a trajectory of prepared (Φ, H̃) inputs."""
 
@@ -188,6 +193,7 @@ def run(model: Model, state: State, phis, htildes, real_obs, computed_obs, has_m
     return jax.lax.scan(body, state, (phis, htildes, real_obs, computed_obs, has_meas))
 
 
+@linalg.highp
 def smooth_all(estimates: Estimate) -> Estimate:
     """Backward smoother (reference: SmoothAll srif.go:165-192):
     x̂_k = Φ_{k+1}^{-1} x̂_{k+1}, P_k = Φ^{-1} P_{k+1} Φ^{-T}, as a

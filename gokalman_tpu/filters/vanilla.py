@@ -76,6 +76,7 @@ def new(x0, p0, f, g, h, noise: Noise):
     return Model(f, g, h, noise), State(x0, p0, jnp.int32(0))
 
 
+@linalg.highp
 def predict(model: Model, state: State, control=None, w=None):
     """Time update: x^- = F x (+ G u + w), P^- = F P F^T + Q.
 
@@ -90,6 +91,7 @@ def predict(model: Model, state: State, control=None, w=None):
     return x, p
 
 
+@linalg.highp
 def gain(model: Model, p_pred: jax.Array) -> jax.Array:
     """K = P^- H^T (H P^- H^T + R)^{-1} (reference: vanilla.go:160-168)."""
     pht = p_pred @ model.h.T
@@ -97,6 +99,7 @@ def gain(model: Model, p_pred: jax.Array) -> jax.Array:
     return linalg.solve_psd(s, pht.T).T
 
 
+@linalg.highp
 def joseph_update(p_pred, k_gain, h, r):
     """Joseph-form P^+ = (I-KH) P^- (I-KH)^T + K R K^T (vanilla.go:197-205)."""
     n = p_pred.shape[-1]
@@ -104,6 +107,7 @@ def joseph_update(p_pred, k_gain, h, r):
     return linalg.sym(ikh @ p_pred @ ikh.T + k_gain @ r @ k_gain.T)
 
 
+@linalg.highp
 def step(
     model: Model,
     state: State,
@@ -158,6 +162,7 @@ def step(
     return State(x, p, state.k + 1), est
 
 
+@linalg.highp
 def run(
     model: Model,
     state: State,

@@ -1,0 +1,192 @@
+"""Fused ensemble Monte-Carlo + chi-square pipelines.
+
+The reference's throughput workload (SURVEY.md §3.2) is
+runs × steps × Vanilla.Update with everything materialized per step
+(montecarlo.go:108-117, chisquare.go:37-79).  Two structural facts make
+the TPU version orders of magnitude faster than a literal vmap:
+
+1. **The covariance path is run-independent.**  With shared (F, H, Q, R)
+   the P/K/NEES-weight recurrences do not depend on the data, so they
+   are computed once per step ([n,n] work) instead of once per run
+   (vanilla.go:149-168 recomputes them inside every Update call).
+   The per-run work collapses to matvec recurrences + quadratic forms.
+
+2. **Nothing needs to be materialized.**  Truth generation and the
+   chi-square replay are fused into one lax.scan: the measurement is
+   consumed the step it is produced, and only the [T]-shaped NEES/NIS
+   means (plus optional [T, n] ensemble stats) leave the chip.  The Go
+   pipeline writes runs×steps estimate objects to heap; this writes
+   O(T·n) floats to HBM.
+
+Layout: ensembles are lanes-major [n, S] (state dim on sublanes, the
+100k ensemble on 128-wide lanes) so every op is a well-tiled VPU op or
+a [n,n]x[n,S] MXU matmul — never an [S,6]-shaped tile that wastes
+121/128 lanes.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .. import linalg
+from ..filters import vanilla
+
+
+class ChiSquareResult(NamedTuple):
+    nis_means: jax.Array  # [T]
+    nees_means: jax.Array  # [T]
+    mean: jax.Array  # [T, n] truth-ensemble mean per step
+    stddev: jax.Array  # [T, n] truth-ensemble stddev (ddof=1) per step
+
+
+@linalg.highp
+def _covariance_path(model: vanilla.Model, p0, steps: int):
+    """Shared covariance recurrence: per-step (K, S^{-1}, (P^+)^{-1}).
+
+    One scan of [n,n] ops replacing the per-run gain computation
+    (vanilla.go:149-168, chisquare.go:50-77).
+    """
+    f, h = model.f, model.h
+    q, r = model.noise.q, model.noise.r
+
+    def body(p, _):
+        p_pred = linalg.sym(f @ p @ f.T + q)
+        pht = p_pred @ h.T
+        s = h @ pht + r
+        s_inv = linalg.inv_psd(s)
+        k_gain = pht @ s_inv
+        p_plus = vanilla.joseph_update(p_pred, k_gain, h, r)
+        p_plus_inv = linalg.inv_psd(p_plus)
+        return p_plus, (k_gain, s_inv, p_plus_inv)
+
+    _, path = jax.lax.scan(body, p0, None, length=steps)
+    return path  # each leaf [T, ...]
+
+
+@linalg.highp
+def mc_chi_square(
+    model: vanilla.Model,
+    state0: vanilla.State,
+    samples: int,
+    steps: int,
+    key: jax.Array,
+    controls: Optional[jax.Array] = None,
+    ensemble_sharding=None,
+    init_spread: bool = False,
+    lagged_measurements: bool = True,
+) -> ChiSquareResult:
+    """Fused Monte-Carlo truth generation + chi-square replay.
+
+    Semantics match running NewMonteCarloRuns (pure-predictor AWGN
+    truth, montecarlo.go:92-119) followed by NewChiSquare with a
+    noiseless replay filter (chisquare.go:16-95, examples/robot/main.go
+    wiring), computing per-step ensemble means of NEES and NIS plus the
+    MC mean/stddev traces — without materializing any [S, T, ...] array.
+
+    `ensemble_sharding` (a jax.sharding.NamedSharding over the S axis)
+    shards the ensembles across chips; the per-step means become ICI
+    all-reduces inserted by XLA.  `init_spread=True` draws x0 ~
+    N(state0.x, P0) per run (the robot example's random initial state).
+
+    `lagged_measurements=True` reproduces the reference's semantics
+    exactly: the recorded MC measurement is H·x(k-1)+v, generated from
+    the *pre-predict* truth state (vanilla.go:155-157), while the
+    replay filter models it as observing the post-predict state — a
+    one-step lag that inflates NEES above the state dimension.  Set
+    False for the physically consistent test (y_k = H·x_t(k)+v), which
+    calibrates NEES to exactly n.
+    """
+    n = state0.x.shape[0]
+    p = model.h.shape[0]
+    dtype = state0.x.dtype
+    f, h = model.f, model.h
+    lq, lr = model.noise.sqrt_q, model.noise.sqrt_r
+
+    k_path, s_inv_path, p_inv_path = _covariance_path(model, state0.p, steps)
+
+    key, k_init = jax.random.split(key)
+    x_truth = jnp.tile(state0.x[:, None], (1, samples))
+    if init_spread:
+        l0 = jnp.linalg.cholesky(state0.p)
+        x_truth = x_truth + l0 @ jax.random.normal(k_init, (n, samples), dtype)
+    x_est = jnp.tile(state0.x[:, None], (1, samples))
+    if ensemble_sharding is not None:
+        x_truth = jax.lax.with_sharding_constraint(x_truth, ensemble_sharding)
+        x_est = jax.lax.with_sharding_constraint(x_est, ensemble_sharding)
+
+    keys = jax.random.split(key, steps)
+
+    def step_fn(carry, xs):
+        x_t, x_e = carry
+        k_gain, s_inv, p_inv, u, kk = xs
+        kw, kv = jax.random.split(kk)
+
+        # --- truth (pure predictor, vanilla.go:138-146, 170-179) ---
+        v = lr @ jax.random.normal(kv, (p, samples), dtype)
+        w = lq @ jax.random.normal(kw, (n, samples), dtype)
+        gu = 0.0 if (model.g is None or u is None) else (model.g @ u)[:, None]
+        if lagged_measurements:
+            y = h @ x_t + v  # pre-predict state (reference semantics)
+            x_t = f @ x_t + gu + w
+        else:
+            x_t = f @ x_t + gu + w
+            y = h @ x_t + v  # post-predict state (consistent test)
+
+        # --- replay filter (noiseless draws, chisquare.go:41) ---
+        x_pred = f @ x_e + gu
+        innov = y - h @ x_pred  # [p, S]
+        x_e = x_pred + k_gain @ innov
+
+        # --- consistency statistics (chisquare.go:46-77) ---
+        err = x_t - x_e  # [n, S]
+        nees = jnp.sum(err * (p_inv @ err), axis=0)  # [S]
+        nis = jnp.sum(innov * (s_inv @ innov), axis=0)  # [S]
+
+        # --- streamed MC ensemble stats (montecarlo.go:18-59) ---
+        mean = jnp.mean(x_t, axis=1)  # [n]
+        var = jnp.sum((x_t - mean[:, None]) ** 2, axis=1) / (samples - 1)
+
+        return (x_t, x_e), (jnp.mean(nis), jnp.mean(nees), mean, jnp.sqrt(var))
+
+    (x_t, x_e), (nis, nees, means, devs) = jax.lax.scan(
+        step_fn, (x_truth, x_est), (k_path, s_inv_path, p_inv_path, controls, keys)
+    )
+    return ChiSquareResult(nis, nees, means, devs)
+
+
+@linalg.highp
+def mc_stats(
+    model: vanilla.Model,
+    state0: vanilla.State,
+    samples: int,
+    steps: int,
+    key: jax.Array,
+    controls: Optional[jax.Array] = None,
+    ensemble_sharding=None,
+):
+    """Streamed pure-predictor Monte-Carlo: per-step ensemble mean and
+    stddev only (the montecarlo.go:18-59 outputs) at O(T·n) HBM cost."""
+    n = state0.x.shape[0]
+    dtype = state0.x.dtype
+    f = model.f
+    lq = model.noise.sqrt_q
+
+    x = jnp.tile(state0.x[:, None], (1, samples))
+    if ensemble_sharding is not None:
+        x = jax.lax.with_sharding_constraint(x, ensemble_sharding)
+    keys = jax.random.split(key, steps)
+
+    def step_fn(x, xs):
+        u, kk = xs
+        w = lq @ jax.random.normal(kk, (n, samples), dtype)
+        gu = 0.0 if (model.g is None or u is None) else (model.g @ u)[:, None]
+        x = f @ x + gu + w
+        mean = jnp.mean(x, axis=1)
+        var = jnp.sum((x - mean[:, None]) ** 2, axis=1) / (samples - 1)
+        return x, (mean, jnp.sqrt(var))
+
+    _, (means, devs) = jax.lax.scan(step_fn, x, (controls, keys))
+    return means, devs

@@ -1,0 +1,82 @@
+"""Ensemble sharding over a TPU device mesh.
+
+The reference scales only by running more independent sequences in a
+Go loop (montecarlo.go:108-117) with channel-based CSV streaming as its
+sole concurrency (README.md:11).  The TPU-native equivalent is a 1-D
+`ensemble` mesh axis: Monte-Carlo runs are sharded across chips with
+`jax.sharding`, the per-step ensemble reductions (mean/stddev/NEES/NIS)
+lower to XLA all-reduces over ICI, and the time axis stays a local
+lax.scan on every chip (the recurrence is inherently serial —
+SURVEY.md §5 'long-context' note).
+
+No TP/PP/SP/EP axes exist because the model state is a 6-vector: there
+is nothing to shard but the embarrassingly parallel run axis.  This is
+the domain's entire communication layer (SURVEY.md §2.9/§5.8).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+ENSEMBLE_AXIS = "ensemble"
+
+
+def ensemble_mesh(devices=None) -> Mesh:
+    """1-D mesh over all (or the given) devices."""
+    devices = jax.devices() if devices is None else devices
+    return Mesh(np.asarray(devices), (ENSEMBLE_AXIS,))
+
+
+def ensemble_sharding(mesh: Mesh, batch_axis: int = -1, ndim: int = 2) -> NamedSharding:
+    """NamedSharding placing the ensemble axis across the mesh.
+
+    Default matches the ops.ensemble lanes-major [n, S] layout
+    (S = last axis).
+    """
+    spec = [None] * ndim
+    spec[batch_axis] = ENSEMBLE_AXIS
+    return NamedSharding(mesh, P(*spec))
+
+
+def sharded_mc_chi_square(
+    model,
+    state0,
+    samples: int,
+    steps: int,
+    key,
+    mesh: Optional[Mesh] = None,
+    controls=None,
+    init_spread: bool = False,
+):
+    """mc_chi_square with the run axis sharded across `mesh`.
+
+    Each chip owns samples/n_devices runs; the per-step NEES/NIS/mean
+    reductions become psum-style collectives inserted by XLA (GSPMD).
+    Requires samples % n_devices == 0.
+    """
+    from ..ops.ensemble import mc_chi_square
+
+    mesh = ensemble_mesh() if mesh is None else mesh
+    ndev = mesh.devices.size
+    if samples % ndev:
+        raise ValueError(f"samples ({samples}) must divide the mesh size ({ndev})")
+    sharding = ensemble_sharding(mesh)
+
+    fn = jax.jit(
+        lambda k, u: mc_chi_square(
+            model,
+            state0,
+            samples,
+            steps,
+            k,
+            controls=u,
+            ensemble_sharding=sharding,
+            init_spread=init_spread,
+        )
+    )
+    return fn(key, controls)

@@ -14,7 +14,19 @@ over a device mesh; the hot small-matrix algebra is fused by XLA with
 Pallas kernels as the native tier.
 """
 
-from . import c2d, chisquare, exporter, linalg, montecarlo, noise, ops, parallel, truth
+from . import (
+    c2d,
+    chisquare,
+    dynamics,
+    exporter,
+    linalg,
+    montecarlo,
+    noise,
+    od,
+    ops,
+    parallel,
+    truth,
+)
 from .filters import batch, hybrid, information, sqrt, srif, vanilla
 
 __version__ = "0.1.0"
@@ -27,6 +39,8 @@ __all__ = [
     "montecarlo",
     "noise",
     "truth",
+    "dynamics",
+    "od",
     "ops",
     "parallel",
     "vanilla",

@@ -1,0 +1,19 @@
+"""Orbital dynamics module — the in-framework equivalent of the `smd`
+dependency the reference's OD tests import (SURVEY.md §2.16):
+two-body + J2/J3 gravity, fixed-step RK integrators with STM via
+jax.jacfwd of the flow (replacing smd's hand-propagated variational
+equations), orbital-element <-> RV conversions, ground stations with
+range/range-rate measurements and elevation-mask visibility, and Earth
+rotation.  Everything is jittable and vmappable.
+"""
+
+from . import constants, elements, gravity, integrators, propagate, stations
+
+__all__ = [
+    "constants",
+    "elements",
+    "gravity",
+    "integrators",
+    "propagate",
+    "stations",
+]

@@ -1,0 +1,189 @@
+"""Orbit-determination scenario harness.
+
+The scan-with-cond recast of the reference's OD loops
+(hybridFullODExample hybrid_test.go:67-372, _SRIFFullODExample
+srif_test.go:66-341): the reference runs the propagator in a goroutine
+feeding a channel, with a WaitGroup forcing lockstep in EKF mode
+because the filter mutates the propagator's orbit mid-flight
+(hybrid_test.go:358-366).  Here the reference trajectory lives inside
+the scan carry, so the EKF full-state reset is a pure carry update and
+the whole scenario jit-compiles into one fused loop.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from . import linalg
+from .dynamics import constants as c
+from .dynamics import gravity, integrators, stations as st
+from .dynamics.propagate import MeasurementSet
+from .filters import hybrid, srif
+
+
+class ODResult(NamedTuple):
+    est_states: jax.Array  # [T, 6] full-state estimates (reference + deviation)
+    deviations: jax.Array  # [T, 6] filter deviation states
+    covariances: jax.Array  # [T, 6, 6]
+    innovations: jax.Array  # [T, p]
+    ref_states: jax.Array  # [T, 6] reference trajectory (post EKF resets)
+    has_meas: jax.Array  # [T]
+    estimates: object  # stacked filter Estimate pytree (for smoothing)
+
+
+def _computed_obs(station_list, state, theta, idx, has):
+    """Observation + Jacobian of `state` by station `idx` (the station
+    that produced the real measurement), zero when no measurement."""
+    obs = jnp.stack([st.range_range_rate(s, state, theta) for s in station_list])
+    hts = jnp.stack([st.measurement_jacobian(s, state, theta) for s in station_list])
+    safe = jnp.maximum(idx, 0)
+    return (
+        jnp.where(has, obs[safe], jnp.zeros_like(obs[0])),
+        jnp.where(has, hts[safe], jnp.zeros_like(hts[0])),
+    )
+
+
+def snc_gamma(dt: float, dtype=jnp.float64) -> jnp.ndarray:
+    """The PV process-noise mapping Γ = [Δt²/2·I; Δt·I] used when SNC is
+    armed (hybrid_test.go:295-327)."""
+    i3 = jnp.eye(3, dtype=dtype)
+    return jnp.concatenate([0.5 * dt * dt * i3, dt * i3], axis=0)
+
+
+@linalg.highp
+def run_hybrid_od(
+    x0_ref,
+    p0,
+    noise,
+    meas: MeasurementSet,
+    dt: float,
+    theta0: float = 0.0,
+    stations_list=(),
+    degree: int = 2,
+    method: str = "rk4",
+    substeps: int = 1,
+    ekf_mask: Optional[jnp.ndarray] = None,
+    snc_mask: Optional[jnp.ndarray] = None,
+    t0: float = 0.0,
+) -> ODResult:
+    """Hybrid CKF/EKF orbit determination over a measurement stream.
+
+    Per step (hybrid_test.go:228-372): propagate the reference orbit one
+    step with its STM, compute the reference observation by the same
+    station that produced the real one, run the masked hybrid step, and
+    in EKF mode fold the estimated correction back into the reference
+    trajectory (carry update replacing the goroutine lockstep).
+    """
+    x0_ref = jnp.asarray(x0_ref)
+    dtype = x0_ref.dtype
+    steps = meas.obs.shape[0]
+    eom = functools.partial(gravity.eom, degree=degree)
+    phi_flow = integrators.flow(eom, dt, method, substeps)
+
+    model, hstate0 = hybrid.new(jnp.zeros(6, dtype), jnp.asarray(p0), noise, 2)
+    # SNC needs the 3x3 acceleration PSD as Q (Γ is 6x3); without a mask
+    # the ΓQΓ^T term is compiled out entirely (hybrid.go:117-123).
+    use_snc = snc_mask is not None
+    if use_snc and noise.q.shape != (3, 3):
+        raise ValueError("SNC requires noise.q to be the 3x3 acceleration PSD")
+    gamma = snc_gamma(dt, dtype) if use_snc else None
+    times = t0 + dt * jnp.arange(1, steps + 1, dtype=dtype)
+
+    ekf_mask = jnp.zeros(steps, bool) if ekf_mask is None else ekf_mask
+    snc_mask = jnp.zeros(steps, bool) if snc_mask is None else snc_mask
+    if not use_snc:
+        snc_mask = None
+
+    def body(carry, xs):
+        x_ref, hstate = carry
+        real_obs, idx, has, ekf, snc, t = xs
+        g = gamma if snc is not None else None
+        # Entering an EKF step, fold any existing deviation into the
+        # reference first (no-op in steady EKF where the deviation is
+        # already zero).  The reference drops the deviation instead
+        # (hybrid.go:160-162 ignores the prior state), which is only
+        # safe because its test switches modes with a ~zero deviation;
+        # with a converged CKF deviation that discard makes the filter
+        # inconsistent and diverges — folding is the correct transition.
+        pre = jnp.where(ekf, hstate.x, jnp.zeros_like(hstate.x))
+        x_ref = x_ref + pre
+        hstate = hstate._replace(x=hstate.x - pre)
+        x_ref, stm = integrators.x_and_jac(phi_flow, x_ref)
+        theta = theta0 + c.EARTH_ROTATION_RATE * t
+        comp_obs, htilde = _computed_obs(stations_list, x_ref, theta, idx, has)
+        hstate, est = hybrid.step(
+            model, hstate, stm, htilde, real_obs, comp_obs, has,
+            gamma=g, snc=snc, ekf=ekf,
+        )
+        # EKF reference-trajectory reset (hybrid_test.go:358-366).
+        shift = jnp.where(ekf & has, hstate.x, jnp.zeros_like(hstate.x))
+        x_ref = x_ref + shift
+        hstate = hstate._replace(x=hstate.x - shift)
+        full = x_ref + hstate.x
+        out = (full, hstate.x, est.covariance, est.innovation, x_ref, est)
+        return (x_ref, hstate), out
+
+    xs = (meas.obs, meas.station_idx, meas.has_meas, ekf_mask, snc_mask, times)
+    _, (full, dev, cov, innov, refs, ests) = jax.lax.scan(
+        body, (x0_ref, hstate0), xs
+    )
+    return ODResult(full, dev, cov, innov, refs, meas.has_meas, ests)
+
+
+@linalg.highp
+def run_srif_od(
+    x0_ref,
+    p0,
+    noise,
+    meas: MeasurementSet,
+    dt: float,
+    theta0: float = 0.0,
+    stations_list=(),
+    degree: int = 2,
+    method: str = "rk4",
+    substeps: int = 1,
+    non_tri_r: bool = False,
+    t0: float = 0.0,
+) -> ODResult:
+    """SRIF orbit determination (srif_test.go:66-341 recast as a scan).
+
+    The SRIF is CKF-only (no reference reset) and carries the deviation
+    in square-root information form; P0 must be diagonal (srif.go:22-26).
+    """
+    x0_ref = jnp.asarray(x0_ref)
+    dtype = x0_ref.dtype
+    steps = meas.obs.shape[0]
+    eom = functools.partial(gravity.eom, degree=degree)
+    phi_flow = integrators.flow(eom, dt, method, substeps)
+
+    model, sstate0, _ = srif.new(jnp.zeros(6, dtype), jnp.asarray(p0), 2, non_tri_r, noise)
+    times = t0 + dt * jnp.arange(1, steps + 1, dtype=dtype)
+
+    def body(carry, xs):
+        x_ref, sstate = carry
+        real_obs, idx, has, t = xs
+        x_ref, stm = integrators.x_and_jac(phi_flow, x_ref)
+        theta = theta0 + c.EARTH_ROTATION_RATE * t
+        comp_obs, htilde = _computed_obs(stations_list, x_ref, theta, idx, has)
+        sstate, est = srif.step(model, sstate, stm, htilde, real_obs, comp_obs, has)
+        dev = est.state
+        out = (x_ref + dev, dev, est.covariance, est.obs_dev, x_ref, est)
+        return (x_ref, sstate), out
+
+    xs = (meas.obs, meas.station_idx, meas.has_meas, times)
+    _, (full, dev, cov, innov, refs, ests) = jax.lax.scan(body, (x0_ref, sstate0), xs)
+    return ODResult(full, dev, cov, innov, refs, meas.has_meas, ests)
+
+
+def rms_errors(result: ODResult, truth_states, tail: float = 0.5):
+    """Position/velocity RMS of the estimation error over the last
+    `tail` fraction of the arc (the srif_test.go:331-340 gate)."""
+    err = result.est_states - jnp.asarray(truth_states)
+    start = int(err.shape[0] * (1.0 - tail))
+    pos = jnp.sqrt(jnp.mean(jnp.sum(err[start:, :3] ** 2, axis=1)))
+    vel = jnp.sqrt(jnp.mean(jnp.sum(err[start:, 3:] ** 2, axis=1)))
+    return pos, vel

@@ -25,7 +25,7 @@ import gokalman_tpu as gk
 
 BASELINE_STEPS_PER_SEC = 1e8  # BASELINE.md rebuild target
 
-SAMPLES = 100_000
+SAMPLES = 102_400  # 100k-class ensemble, multiple of the kernel tile (2048)
 STEPS = 1_000
 DTYPE = jnp.float32
 
@@ -52,19 +52,39 @@ def make_model():
 def main():
     model, state0 = make_model()
 
-    @jax.jit
-    def pipeline(key):
-        # lagged_measurements=False: the physically consistent MC test
-        # (NEES calibrates to exactly n) — see ops/ensemble.py on the
-        # reference's one-step measurement lag quirk.
-        return gk.ops.ensemble.mc_chi_square(
-            model, state0, SAMPLES, STEPS, key,
-            init_spread=True, lagged_measurements=False,
-        )
+    # Primary path: the fused Pallas kernel (ops/pallas_mc.py) — the
+    # whole runs x steps pipeline in one kernel launch, ensembles
+    # resident in VMEM, hardware-PRNG noise.  Falls back to the pure-XLA
+    # scan pipeline (ops/ensemble.py) if the kernel cannot compile on
+    # this backend.
+    try:
+        from gokalman_tpu.ops.pallas_mc import mc_chi_square_pallas
 
-    # Warm-up / compile.
-    res = pipeline(jax.random.PRNGKey(0))
-    jax.block_until_ready(res)
+        def pipeline(key_or_seed):
+            return mc_chi_square_pallas(
+                model, state0, SAMPLES, STEPS, jnp.int32(key_or_seed),
+                init_spread=True,
+            )
+
+        res = pipeline(0)
+        jax.block_until_ready(res)
+        keys = [1, 2, 3]
+        backend = "pallas"
+    except Exception:
+        @jax.jit
+        def pipeline(key):
+            # lagged_measurements=False: the physically consistent MC
+            # test (NEES calibrates to exactly n) — see ops/ensemble.py
+            # on the reference's one-step measurement lag quirk.
+            return gk.ops.ensemble.mc_chi_square(
+                model, state0, SAMPLES, STEPS, key,
+                init_spread=True, lagged_measurements=False,
+            )
+
+        res = pipeline(jax.random.PRNGKey(0))
+        jax.block_until_ready(res)
+        keys = [jax.random.PRNGKey(i + 1) for i in range(3)]
+        backend = "xla"
 
     # Sanity: consistency statistics must be in range or the speed is
     # meaningless.
@@ -74,9 +94,9 @@ def main():
     assert 2.5 < nis_tail < 3.5, f"NIS {nis_tail} out of range (expect ~3)"
 
     times = []
-    for i in range(3):
+    for k in keys:
         t0 = time.perf_counter()
-        out = pipeline(jax.random.PRNGKey(i + 1))
+        out = pipeline(k)
         jax.block_until_ready(out)
         times.append(time.perf_counter() - t0)
 

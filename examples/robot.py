@@ -1,0 +1,62 @@
+"""2-state robot Monte-Carlo + chi-square example.
+
+Rebuild of the reference's robot example (reference:
+examples/robot/main.go): a 1-D robot (position, velocity) with a
+sinusoidal acceleration command, 50 Monte-Carlo runs x 120 steps of the
+pure-predictor truth, then NEES/NIS consistency of the CKF — all as two
+fused device computations instead of the Go loop nest.
+
+Run:  python examples/robot.py [outdir]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+import gokalman_tpu as gk
+
+
+def main(outdir="."):
+    dt = 0.1
+    f = jnp.array([[1.0, dt], [0.0, 1.0]])
+    g = jnp.array([[0.5 * dt * dt], [dt]])
+    h = jnp.array([[1.0, 0.0]])
+    r = jnp.array([[0.05]])
+    q = jnp.array([[5e-2, 5e-4], [5e-4, 1e-3]])
+    x0 = jnp.zeros(2)
+    p0 = 2.0 * jnp.eye(2)
+
+    steps, sims = 120, 50
+    controls = jnp.cos(0.75 * jnp.arange(1, steps + 1) * dt)[:, None]
+
+    model, state0 = gk.vanilla.new(x0, p0, f, g, h, gk.noise.awgn(q, r))
+    runs = gk.montecarlo.monte_carlo(
+        model, state0, samples=sims, steps=steps,
+        key=jax.random.PRNGKey(0), controls=controls,
+    )
+    headers = ["xi", "xi_dot"]
+    for name, blob in zip(headers, runs.as_csv(headers)):
+        with open(os.path.join(outdir, f"montecarlo-{name}.csv"), "w") as fh:
+            fh.write(blob)
+
+    nis, nees = gk.chisquare.chi_square(model, state0, runs, controls=controls)
+    with open(os.path.join(outdir, "chisquare.csv"), "w") as fh:
+        fh.write("NIS,NEES\n")
+        for a, b in zip(nis.tolist(), nees.tolist()):
+            fh.write(f"{a:f},{b:f}\n")
+    # NOTE: the reference's Monte-Carlo records its measurement from the
+    # *pre-predict* state (vanilla.go:155-157), so the replayed filter
+    # sees a one-step-lagged measurement; with a control input this
+    # inflates NEES above the state dimension.  The fused pipeline
+    # (gk.ops.ensemble.mc_chi_square with lagged_measurements=False)
+    # implements the calibrated variant where NEES -> n exactly.
+    print(f"NEES mean (lagged reference semantics): {float(jnp.mean(nees[20:])):.3f}")
+    print(f"NIS mean  (expect ~1): {float(jnp.mean(nis[20:])):.3f}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else ".")

@@ -16,6 +16,7 @@ Pallas kernels as the native tier.
 
 from . import (
     c2d,
+    checkpoint,
     chisquare,
     dynamics,
     exporter,
@@ -25,8 +26,11 @@ from . import (
     od,
     ops,
     parallel,
+    profiling,
     truth,
+    types,
 )
+from .types import FilterType
 from .filters import batch, hybrid, information, sqrt, srif, vanilla
 
 __version__ = "0.1.0"
@@ -41,6 +45,10 @@ __all__ = [
     "truth",
     "dynamics",
     "od",
+    "checkpoint",
+    "profiling",
+    "types",
+    "FilterType",
     "ops",
     "parallel",
     "vanilla",

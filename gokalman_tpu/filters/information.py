@@ -111,8 +111,24 @@ def new_from_state(x0, p0, f, g, h, noise: Noise):
 
 
 @linalg.highp
-def step(model: Model, state: State, measurement, control=None, v=None):
-    """One information-filter update (reference: information.go:153-227)."""
+def step(model: Model, state: State, measurement, control=None, v=None,
+         h=None, r=None, meas_mask=None):
+    """One information-filter update (reference: information.go:153-227).
+
+    `h`/`r`/`meas_mask` override the measurement model per step
+    (time-varying padded measurements, see vanilla.mask_measurement);
+    R^{-1} is recomputed for the step when overridden.
+    """
+    if h is not None or r is not None or meas_mask is not None:
+        from .vanilla import mask_measurement
+
+        h_k = model.h if h is None else h
+        r_k = (
+            _inv_or_zero(model.r_inv) if r is None else jnp.asarray(r)
+        )
+        if meas_mask is not None:
+            h_k, r_k, measurement = mask_measurement(h_k, r_k, measurement, meas_mask)
+        model = model._replace(h=h_k, r_inv=_inv_or_zero(r_k))
     # z = F^{-T} I F^{-1} (information.go:163-165).
     z = model.f_inv.T @ state.info @ model.f_inv
     # M = -z (z + Q^{-1})^{-1} (information.go:169-174).
@@ -139,14 +155,17 @@ def step(model: Model, state: State, measurement, control=None, v=None):
 
 
 @linalg.highp
-def run(model: Model, state: State, measurements, controls=None, key=None):
-    """lax.scan driver over the time axis."""
+def run(model: Model, state: State, measurements, controls=None, key=None,
+        hs=None, rs=None, meas_masks=None):
+    """lax.scan driver over the time axis (hs/rs/meas_masks: per-step
+    measurement-model overrides, see vanilla.run)."""
     steps = jnp.shape(measurements)[0]
     keys = None if key is None else jax.random.split(key, steps)
 
     def body(carry, xs):
-        meas, ctrl, k = xs
+        meas, ctrl, k, h_k, r_k, mask = xs
         v = None if k is None else measurement_sample(model.noise, k)
-        return step(model, carry, meas, ctrl, v)
+        return step(model, carry, meas, ctrl, v, h_k, r_k, mask)
 
-    return jax.lax.scan(body, state, (measurements, controls, keys), length=steps)
+    xs = (measurements, controls, keys, hs, rs, meas_masks)
+    return jax.lax.scan(body, state, xs, length=steps)

@@ -106,13 +106,27 @@ def measurement_update_factors(model: Model, s_pred: jax.Array):
 
 
 @linalg.highp
-def step(model: Model, state: State, measurement, control=None, w2=None, v=None):
+def step(model: Model, state: State, measurement, control=None, w2=None, v=None,
+         h=None, r=None, meas_mask=None):
     """One square-root update (reference: squareroot.go:129-274).
 
     Matches the reference's noise convention: no process-noise draw in
     the prediction, one draw (`w2`) added after the measurement update
-    (squareroot.go:268).
+    (squareroot.go:268).  `h`/`r`/`meas_mask` override the measurement
+    model per step (time-varying padded measurements, see
+    vanilla.mask_measurement).
     """
+    if h is not None or r is not None or meas_mask is not None:
+        from .vanilla import mask_measurement
+
+        h_k = model.h if h is None else h
+        r_k = model.noise.r if r is None else r
+        if meas_mask is not None:
+            h_k, r_k, measurement = mask_measurement(h_k, r_k, measurement, meas_mask)
+        model = model._replace(
+            h=h_k,
+            noise=model.noise._replace(r=r_k, sqrt_r=jnp.linalg.cholesky(r_k)),
+        )
     x_pred = model.f @ state.x
     if model.g is not None and control is not None:
         x_pred = x_pred + model.g @ control
@@ -143,18 +157,21 @@ def step(model: Model, state: State, measurement, control=None, w2=None, v=None)
 
 
 @linalg.highp
-def run(model: Model, state: State, measurements, controls=None, key=None):
-    """lax.scan driver over the time axis."""
+def run(model: Model, state: State, measurements, controls=None, key=None,
+        hs=None, rs=None, meas_masks=None):
+    """lax.scan driver over the time axis (hs/rs/meas_masks: per-step
+    measurement-model overrides, see vanilla.run)."""
     steps = jnp.shape(measurements)[0]
     keys = None if key is None else jax.random.split(key, steps)
 
     def body(carry, xs):
-        meas, ctrl, k = xs
+        meas, ctrl, k, h_k, r_k, mask = xs
         w2 = v = None
         if k is not None:
             kw, kv = jax.random.split(k)
             w2 = process_sample(model.noise, kw)
             v = measurement_sample(model.noise, kv)
-        return step(model, carry, meas, ctrl, w2, v)
+        return step(model, carry, meas, ctrl, w2, v, h_k, r_k, mask)
 
-    return jax.lax.scan(body, state, (measurements, controls, keys), length=steps)
+    xs = (measurements, controls, keys, hs, rs, meas_masks)
+    return jax.lax.scan(body, state, xs, length=steps)

@@ -63,6 +63,24 @@ class Estimate(NamedTuple):
         return linalg.is_within_nsigma(self.state, self.covariance, n_sigma)
 
 
+def mask_measurement(h, r, measurement, mask):
+    """Static-shape support for time-varying measurement sizes.
+
+    The reference mutates H and R mid-stream to switch between a 1x4
+    and a 2x4 measurement (examples/jerkcar/main.go:94-105, 141-158);
+    XLA needs static shapes, so measurements are padded to the max size
+    with a per-row validity mask.  Masked rows get a zero H row, a unit
+    R diagonal (keeping S invertible), and a zero measurement — the
+    resulting gain column is exactly zero, so the update equals the
+    unpadded update on the valid rows.
+    """
+    m = mask.astype(h.dtype)
+    h = h * m[:, None]
+    r = r * (m[:, None] * m[None, :]) + jnp.diag(1.0 - m)
+    y = None if measurement is None else measurement * m
+    return h, r, y
+
+
 def new(x0, p0, f, g, h, noise: Noise):
     """Build (Model, State) with trace-time dim checks (vanilla.go:21-40)."""
     x0 = jnp.asarray(x0)
@@ -117,6 +135,9 @@ def step(
     w2=None,
     v=None,
     prediction_only: bool = False,
+    h=None,
+    r=None,
+    meas_mask=None,
 ):
     """One full CKF update (reference: vanilla.go:128-220).
 
@@ -126,7 +147,20 @@ def step(
     for the estimated measurement (vanilla.go:157).  Passing None means
     zero (Noiseless).  `prediction_only` is static — the pure-predictor
     variant compiles without the measurement branch (vanilla.go:170-179).
+
+    `h`/`r` override the model's measurement matrices for this step
+    (the SetMeasurementMatrix/SetNoise mid-stream idiom); `meas_mask`
+    ([p] bool) marks valid measurement rows for padded time-varying
+    measurement sizes (see mask_measurement).
     """
+    if h is not None or r is not None or meas_mask is not None:
+        h_k = model.h if h is None else h
+        r_k = model.noise.r if r is None else r
+        if meas_mask is not None:
+            h_k, r_k, measurement = mask_measurement(h_k, r_k, measurement, meas_mask)
+        model = model._replace(
+            h=h_k, noise=model.noise._replace(r=r_k)
+        )
     x_pred, p_pred = predict(model, state, control, w)
     # Estimated measurement from the *previous* state (vanilla.go:155-157).
     y_hat = model.h @ state.x
@@ -174,16 +208,23 @@ def run(
     vs=None,
     steps: Optional[int] = None,
     prediction_only: bool = False,
+    hs=None,
+    rs=None,
+    meas_masks=None,
 ):
     """Scan `step` over the time axis (the README.md:14-22 loop, fused).
 
     measurements: [T, p] or None; controls: [T, m] or None;
     ws/ws2/vs: [T, n]/[T, n]/[T, p] pre-recorded noise (BatchNoise,
     noise.go:67-106) or None; key: PRNG key enabling AWGN draws.
+    hs/rs: [T, p, n]/[T, p, p] per-step measurement model overrides and
+    meas_masks: [T, p] row-validity masks — the static-shape form of
+    the reference's mid-stream SetMeasurementMatrix/SetNoise calls
+    (examples/jerkcar/main.go:141-158).
     Returns (final_state, stacked Estimates with leading T axis).
     """
     if steps is None:
-        for arr in (measurements, controls, ws, vs):
+        for arr in (measurements, controls, ws, vs, hs):
             if arr is not None:
                 steps = jnp.shape(arr)[0]
                 break
@@ -193,17 +234,18 @@ def run(
     keys = None if key is None else jax.random.split(key, steps)
 
     def body(carry, xs):
-        meas, ctrl, w, w2, v, k = xs
+        meas, ctrl, w, w2, v, k, h_k, r_k, mask = xs
         if k is not None:
             kw, kw2, kv = jax.random.split(k, 3)
             w = process_sample(model.noise, kw) if w is None else w
             w2 = process_sample(model.noise, kw2) if w2 is None else w2
             v = measurement_sample(model.noise, kv) if v is None else v
         new_state, est = step(
-            model, carry, meas, ctrl, w, w2, v, prediction_only=prediction_only
+            model, carry, meas, ctrl, w, w2, v,
+            prediction_only=prediction_only, h=h_k, r=r_k, meas_mask=mask,
         )
         return new_state, est
 
-    xs = (measurements, controls, ws, ws2, vs, keys)
+    xs = (measurements, controls, ws, ws2, vs, keys, hs, rs, meas_masks)
     final, ests = jax.lax.scan(body, state, xs, length=steps)
     return final, ests

@@ -31,7 +31,7 @@ from . import (
     types,
 )
 from .types import FilterType
-from .filters import batch, hybrid, information, sqrt, srif, vanilla
+from .filters import batch, hybrid, information, sqrt, srif, ukf, vanilla
 
 __version__ = "0.1.0"
 
@@ -57,4 +57,5 @@ __all__ = [
     "srif",
     "hybrid",
     "batch",
+    "ukf",
 ]

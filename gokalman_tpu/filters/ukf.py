@@ -1,0 +1,139 @@
+"""Unscented Kalman filter (UKF), TPU-first.
+
+The reference *declares* a UKF in its filter taxonomy (reference:
+kalman.go:28-29 UKFType) but never implements one; this completes the
+enum with a standard additive-noise UKF (Wan & van der Merwe scaled
+sigma points).  Nonlinear dynamics/measurement functions are plain
+jittable callables — sigma-point propagation is one vmap, so the whole
+step stays a single fused XLA computation, scannable over time and
+vmappable over ensembles like every other filter here.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import linalg
+from ..noise import Noise
+
+
+class Params(NamedTuple):
+    """Scaled unscented-transform parameters."""
+
+    alpha: float = 1e-3
+    beta: float = 2.0
+    kappa: float = 0.0
+
+
+class Model(NamedTuple):
+    noise: Noise
+    params: Params
+
+
+class State(NamedTuple):
+    x: jax.Array  # [n]
+    p: jax.Array  # [n, n]
+    k: jax.Array  # [] int32
+
+
+class Estimate(NamedTuple):
+    state: jax.Array
+    measurement: jax.Array  # predicted measurement \hat{y}
+    innovation: jax.Array
+    covariance: jax.Array
+    pred_covariance: jax.Array
+    gain: jax.Array
+
+    def within_nsigma(self, n_sigma) -> jax.Array:
+        return linalg.is_within_nsigma(self.state, self.covariance, n_sigma)
+
+
+def new(x0, p0, noise: Noise, alpha=1e-3, beta=2.0, kappa=0.0):
+    x0 = jnp.asarray(x0)
+    p0 = jnp.asarray(p0)
+    linalg.check_dims((x0.shape[0], 1), p0.shape, "x0", "P0", "rows2cols")
+    return Model(noise, Params(alpha, beta, kappa)), State(x0, p0, jnp.int32(0))
+
+
+def _weights(n: int, params: Params, dtype):
+    lam = params.alpha**2 * (n + params.kappa) - n
+    wm = jnp.full((2 * n + 1,), 1.0 / (2.0 * (n + lam)), dtype)
+    wm = wm.at[0].set(lam / (n + lam))
+    wc = wm.at[0].add(1.0 - params.alpha**2 + params.beta)
+    return lam, wm, wc
+
+
+def sigma_points(x, p, params: Params):
+    """Scaled sigma points X_0 = x, X_±i = x ± sqrt((n+λ) P)_i."""
+    n = x.shape[0]
+    lam, _, _ = _weights(n, params, x.dtype)
+    s = jnp.linalg.cholesky((n + lam) * p)
+    pts = jnp.concatenate(
+        [x[None, :], x[None, :] + s.T, x[None, :] - s.T], axis=0
+    )  # [2n+1, n]
+    return pts
+
+
+def unscented_transform(points, wm, wc, noise_cov=None):
+    mean = wm @ points
+    dev = points - mean[None, :]
+    cov = jnp.einsum("i,ij,ik->jk", wc, dev, dev)
+    if noise_cov is not None:
+        cov = cov + noise_cov
+    return mean, linalg.sym(cov), dev
+
+
+@linalg.highp
+def predict(model: Model, state: State, fx: Callable, control=None):
+    """Time update through the nonlinear dynamics fx(x[, u])."""
+    n = state.x.shape[0]
+    _, wm, wc = _weights(n, model.params, state.x.dtype)
+    pts = sigma_points(state.x, state.p, model.params)
+    prop = jax.vmap((lambda s: fx(s, control)) if control is not None else fx)(pts)
+    x_pred, p_pred, _ = unscented_transform(prop, wm, wc, model.noise.q)
+    return x_pred, p_pred, prop, (wm, wc)
+
+
+@linalg.highp
+def step(model: Model, state: State, measurement, fx: Callable, hx: Callable,
+         control=None):
+    """One UKF update: unscented time update through fx, unscented
+    measurement update through hx, joint-statistics gain."""
+    x_pred, p_pred, prop, (wm, wc) = predict(model, state, fx, control)
+
+    # Re-draw sigma points around the predicted density (standard
+    # additive-noise form), push through the measurement function.
+    pts = sigma_points(x_pred, p_pred, model.params)
+    zpts = jax.vmap(hx)(pts)
+    y_hat, s_cov, zdev = unscented_transform(zpts, wm, wc, model.noise.r)
+    xdev = pts - x_pred[None, :]
+    cross = jnp.einsum("i,ij,ik->jk", wc, xdev, zdev)  # [n, p]
+    k_gain = linalg.solve_psd(s_cov, cross.T).T
+
+    innovation = measurement - y_hat
+    x = x_pred + k_gain @ innovation
+    p = linalg.sym(p_pred - k_gain @ s_cov @ k_gain.T)
+    est = Estimate(
+        state=x,
+        measurement=y_hat,
+        innovation=innovation,
+        covariance=p,
+        pred_covariance=p_pred,
+        gain=k_gain,
+    )
+    return State(x, p, state.k + 1), est
+
+
+@linalg.highp
+def run(model: Model, state: State, measurements, fx: Callable, hx: Callable,
+        controls=None):
+    """lax.scan driver over the time axis."""
+
+    def body(carry, xs):
+        meas, u = xs
+        return step(model, carry, meas, fx, hx, u)
+
+    return jax.lax.scan(body, state, (measurements, controls))

@@ -7,6 +7,6 @@ lanes-major ensemble axis, with the run-independent covariance/gain
 recurrence computed once instead of per run.
 """
 
-from . import ensemble
+from . import assoc_scan, ensemble
 
-__all__ = ["ensemble"]
+__all__ = ["assoc_scan", "ensemble"]

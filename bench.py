@@ -25,7 +25,7 @@ import gokalman_tpu as gk
 
 BASELINE_STEPS_PER_SEC = 1e8  # BASELINE.md rebuild target
 
-SAMPLES = 102_400  # 100k-class ensemble, multiple of the kernel tile (2048)
+SAMPLES = 98_304  # 100k-class ensemble, multiple of the kernel tile (8192)
 STEPS = 1_000
 DTYPE = jnp.float32
 

@@ -21,9 +21,15 @@ from ..noise import Noise
 
 
 class Params(NamedTuple):
-    """Scaled unscented-transform parameters."""
+    """Scaled unscented-transform parameters.
 
-    alpha: float = 1e-3
+    Default alpha=1.0 (lambda=0, all-positive weights): numerically safe
+    in float32.  The textbook alpha=1e-3 puts a ~-1e6 weight on the
+    center point, which is fine in float64 but catastrophically cancels
+    in float32 — pass it explicitly only on f64 paths.
+    """
+
+    alpha: float = 1.0
     beta: float = 2.0
     kappa: float = 0.0
 
@@ -51,7 +57,7 @@ class Estimate(NamedTuple):
         return linalg.is_within_nsigma(self.state, self.covariance, n_sigma)
 
 
-def new(x0, p0, noise: Noise, alpha=1e-3, beta=2.0, kappa=0.0):
+def new(x0, p0, noise: Noise, alpha=1.0, beta=2.0, kappa=0.0):
     x0 = jnp.asarray(x0)
     p0 = jnp.asarray(p0)
     linalg.check_dims((x0.shape[0], 1), p0.shape, "x0", "P0", "rows2cols")

@@ -40,7 +40,7 @@ from .ensemble import ChiSquareResult, _covariance_path
 N = 6  # state dim (padded to 8 sublanes in-kernel)
 P = 3  # measurement dim
 NPAD = 8
-TILE = 2048  # ensemble members per grid program
+TILE = 8192  # ensemble members per grid program
 
 # SMEM packing layout per step: K [6,3], Pinv [6,6], Sinv [3,3] -> 63,
 # padded to 64 for aligned indexing.
@@ -86,21 +86,35 @@ _X0_OFF = 99
 _L0_OFF = 105
 
 
-def _normals(shape):
-    """Standard normals from the hardware PRNG via Box-Muller.
+def _normal_pair(shape):
+    """Two independent standard-normal arrays from one Box-Muller pair.
 
-    Draws 2x uint32 bits, maps to (0,1] uniforms, returns one
-    Box-Muller branch per draw pair (shape-preserving).
+    Draws 2x uint32 bits, maps to (0,1] uniforms (low 24 bits —
+    int32-safe since Mosaic has no uint32->f32 cast), and returns both
+    the cos and sin branches so no entropy is wasted.
     """
     bits1 = pltpu.prng_random_bits(shape)
     bits2 = pltpu.prng_random_bits(shape)
-    # Keep the low 24 bits (int32-safe: result is non-negative, and
-    # Mosaic has no uint32->f32 cast) -> uniforms in (0, 1] / [0, 1).
     mask = jnp.int32(0x00FFFFFF)
     u1 = (bits1 & mask).astype(jnp.float32) * (2.0**-24) + (2.0**-25)
     u2 = (bits2 & mask).astype(jnp.float32) * (2.0**-24)
     r = jnp.sqrt(-2.0 * jnp.log(u1))
-    return r * jnp.cos(2.0 * jnp.pi * u2)
+    ang = 2.0 * jnp.pi * u2
+    return r * jnp.cos(ang), r * jnp.sin(ang)
+
+
+def _normals(shape):
+    """One standard-normal array (single Box-Muller branch)."""
+    return _normal_pair(shape)[0]
+
+
+def _normal_batch(shape, count: int):
+    """`count` independent normal arrays using ceil(count/2) BM pairs."""
+    out = []
+    for _ in range((count + 1) // 2):
+        a, b = _normal_pair(shape)
+        out += [a, b]
+    return out[:count]
 
 
 def _kernel(path_ref, fixed_ref, seed_ref, steps_ref,
@@ -126,7 +140,7 @@ def _kernel(path_ref, fixed_ref, seed_ref, steps_ref,
         return ref[i * 8 : (i + 1) * 8, :]
 
     # Initial ensembles: truth = x0 + L0 z (init spread), estimate = x0.
-    z0 = [_normals(cshape) for _ in range(N)]
+    z0 = _normal_batch(cshape, N)
     for i in range(N):
         base = jnp.full(cshape, x0v[i], jnp.float32)
         spread = jnp.zeros(cshape, jnp.float32)
@@ -137,8 +151,8 @@ def _kernel(path_ref, fixed_ref, seed_ref, steps_ref,
 
     def body(t, _):
         row = t * _ROW
-        w = [_normals(cshape) for _ in range(N)]
-        v = [_normals(cshape) for _ in range(P)]
+        wv = _normal_batch(cshape, N + P)
+        w, v = wv[:N], wv[N:]
 
         xt = [comp(xt_ref, i) for i in range(N)]
         xe = [comp(xe_ref, i) for i in range(N)]

@@ -47,6 +47,19 @@ def _computed_obs(station_list, state, theta, idx, has):
     )
 
 
+def ric_dcm(state: jnp.ndarray) -> jnp.ndarray:
+    """ECI->RIC direction cosine matrix from a PV state: rows are the
+    radial, in-track, cross-track unit vectors (the DCM the reference
+    builds from Orbit.R/H for RIC-rotated SNC, hybrid_test.go:297-311)."""
+    r = state[:3]
+    v = state[3:]
+    r_hat = r / jnp.linalg.norm(r)
+    h = jnp.cross(r, v)
+    c_hat = h / jnp.linalg.norm(h)
+    i_hat = jnp.cross(c_hat, r_hat)
+    return jnp.stack([r_hat, i_hat, c_hat])
+
+
 def snc_gamma(dt: float, dtype=jnp.float64) -> jnp.ndarray:
     """The PV process-noise mapping Γ = [Δt²/2·I; Δt·I] used when SNC is
     armed (hybrid_test.go:295-327)."""
@@ -68,6 +81,7 @@ def run_hybrid_od(
     substeps: int = 1,
     ekf_mask: Optional[jnp.ndarray] = None,
     snc_mask: Optional[jnp.ndarray] = None,
+    snc_ric: bool = False,
     t0: float = 0.0,
 ) -> ODResult:
     """Hybrid CKF/EKF orbit determination over a measurement stream.
@@ -77,6 +91,11 @@ def run_hybrid_od(
     station that produced the real one, run the masked hybrid step, and
     in EKF mode fold the estimated correction back into the reference
     trajectory (carry update replacing the goroutine lockstep).
+
+    `snc_ric=True` interprets noise.q as the acceleration PSD in the
+    radial/in-track/cross-track frame and rotates it to ECI per step
+    from the reference state (the sncRIC branch, hybrid_test.go:295-327)
+    by composing Γ with the RIC DCM transpose.
     """
     x0_ref = jnp.asarray(x0_ref)
     dtype = x0_ref.dtype
@@ -102,6 +121,9 @@ def run_hybrid_od(
         x_ref, hstate = carry
         real_obs, idx, has, ekf, snc, t = xs
         g = gamma if snc is not None else None
+        if g is not None and snc_ric:
+            # Γ_eff = Γ R^T so that Γ_eff Q_ric Γ_eff^T = Γ (R^T Q_ric R) Γ^T.
+            g = gamma @ ric_dcm(x_ref).T
         # Entering an EKF step, fold any existing deviation into the
         # reference first (no-op in steady EKF where the deviation is
         # already zero).  The reference drops the deviation instead
@@ -177,6 +199,75 @@ def run_srif_od(
     xs = (meas.obs, meas.station_idx, meas.has_meas, times)
     _, (full, dev, cov, innov, refs, ests) = jax.lax.scan(body, (x0_ref, sstate0), xs)
     return ODResult(full, dev, cov, innov, refs, meas.has_meas, ests)
+
+
+@linalg.highp
+def run_batch_od(
+    x0_ref,
+    noise,
+    meas: MeasurementSet,
+    dt: float,
+    theta0: float = 0.0,
+    stations_list=(),
+    degree: int = 2,
+    method: str = "rk4",
+    substeps: int = 1,
+    iterations: int = 1,
+    t0: float = 0.0,
+):
+    """Iterated batch least-squares orbit determination.
+
+    The classical Tapley batch processor the reference's batch filter
+    implements the core of (batch.go:34-79; the reference stores Φ per
+    measurement but never maps H to the epoch — batch.go:57): here
+    H_k = H̃_k Φ(t_k, t_0) maps every observation to the epoch state,
+    the normal equations are one einsum, and the whole
+    propagate-accumulate-solve-correct iteration is jittable.
+
+    Returns (x0_est [6], p0 [6,6], per-iteration residual RMS [it]).
+    Note the weight passed to the normal equations is R^{-1} — the
+    reference multiplies by whatever the caller supplies (batch.go:50),
+    so its callers must pass inverse covariances; here it is explicit.
+    """
+    from .filters import batch as batch_ls
+
+    x0 = jnp.asarray(x0_ref)
+    dtype = x0.dtype
+    steps = meas.obs.shape[0]
+    eom = functools.partial(gravity.eom, degree=degree)
+    phi_flow = integrators.flow(eom, dt, method, substeps)
+    times = t0 + dt * jnp.arange(1, steps + 1, dtype=dtype)
+    thetas = theta0 + c.EARTH_ROTATION_RATE * times
+    r_inv = linalg.inv_psd(noise.r)
+
+    def one_iteration(x0_i, _):
+        def prop(carry, xs):
+            x_ref, phi_acc = carry
+            idx, has, theta = xs
+            x_ref, stm = integrators.x_and_jac(phi_flow, x_ref)
+            phi_acc = stm @ phi_acc  # Φ(t_k, t_0)
+            comp, htilde = _computed_obs(stations_list, x_ref, theta, idx, has)
+            h_k = htilde @ phi_acc  # maps epoch deviation to obs space
+            return (x_ref, phi_acc), (comp, h_k)
+
+        eye = jnp.eye(6, dtype=dtype)
+        _, (comp_obs, hs) = jax.lax.scan(
+            prop, (x0_i, eye), (meas.station_idx, meas.has_meas, thetas)
+        )
+        mask = meas.has_meas[:, None].astype(dtype)
+        sol = batch_ls.solve(hs * mask[:, :, None], r_inv, meas.obs * mask,
+                             comp_obs * mask)
+        resid = (meas.obs - comp_obs) * mask
+        rms = jnp.sqrt(jnp.sum(resid**2) / jnp.maximum(jnp.sum(meas.has_meas), 1))
+        return x0_i + sol.x0, (rms, sol.p0)
+
+    x0_est = x0
+    rms_hist = []
+    p0 = jnp.eye(6, dtype=dtype)
+    for _ in range(iterations):
+        x0_est, (rms, p0) = one_iteration(x0_est, None)
+        rms_hist.append(rms)
+    return x0_est, p0, jnp.stack(rms_hist)
 
 
 def rms_errors(result: ODResult, truth_states, tail: float = 0.5):

@@ -97,8 +97,12 @@ def main():
     for k in keys:
         t0 = time.perf_counter()
         out = pipeline(k)
-        jax.block_until_ready(out)
+        # Sync via a device->host scalar read: block_until_ready alone
+        # has been observed to return before SMEM-sourced Pallas outputs
+        # are actually materialized on this backend.
+        _sync = float(out.nees_means[-1]) + float(out.nis_means[-1])
         times.append(time.perf_counter() - t0)
+        assert 5.0 < float(out.nees_means[-1]) < 7.0, _sync
 
     best = min(times)
     steps_per_sec = SAMPLES * STEPS / best

@@ -10,7 +10,6 @@ precision — tighter than integrating variational equations separately.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable
 
 import jax

@@ -101,16 +101,6 @@ def check_dims(shape1, shape2, name1: str, name2: str, method: str) -> None:
         raise ValueError(msg)
 
 
-def _mat_shape(x) -> tuple:
-    """Shape of a vector-or-matrix as (rows, cols), column-vector style."""
-    if x is None:
-        return (0, 0)
-    shape = jnp.shape(x)
-    if len(shape) == 1:
-        return (shape[0], 1)
-    return shape[-2:]
-
-
 def sign_db(v: jax.Array, deadband: float = 1e-12) -> jax.Array:
     """Sign with a deadband mapping |v|<=1e-12 to +1 (reference: helper.go:133-138)."""
     return jnp.where(jnp.abs(v) <= deadband, jnp.ones_like(v), jnp.sign(v))

@@ -26,7 +26,7 @@ broadcasts.  The kernel is specialized to n=6, p=3 (the flagship
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+
 
 import jax
 import jax.numpy as jnp

@@ -197,6 +197,32 @@ def step(
 
 
 @linalg.highp
+@linalg.highp
+def innovations_log_likelihood(model: Model, ests: Estimate) -> jax.Array:
+    """Gaussian innovations log-likelihood of a filtered run:
+    sum_k -1/2 [ innov_k^T S_k^{-1} innov_k + log det S_k + p log 2pi ]
+    with S_k = H P^-_k H^T + R.
+
+    Nothing like this exists in the reference — it is the payoff of the
+    functional rebuild: `run` is differentiable end-to-end, so noise
+    covariances (or any model parameter) can be *fitted* by gradient
+    ascent on this likelihood instead of hand-tuned (see
+    tests/test_differentiable.py).
+    """
+    h, r = model.h, model.noise.r
+    s = jnp.einsum("ij,tjk,lk->til", h, ests.pred_covariance, h) + r
+    chol = jnp.linalg.cholesky(s)
+    white = jax.scipy.linalg.solve_triangular(
+        chol, ests.innovation[..., None], lower=True
+    )[..., 0]
+    maha = jnp.sum(white**2, axis=-1)
+    logdet = 2.0 * jnp.sum(
+        jnp.log(jnp.diagonal(chol, axis1=-2, axis2=-1)), axis=-1
+    )
+    p = h.shape[0]
+    return -0.5 * jnp.sum(maha + logdet + p * jnp.log(2.0 * jnp.pi))
+
+
 def run(
     model: Model,
     state: State,

@@ -136,6 +136,18 @@ def _kernel(path_ref, fixed_ref, seed_ref, steps_ref,
     x0v = [fixed_ref[_X0_OFF + i] for i in range(N)]
     l0mat = [[fixed_ref[_L0_OFF + i * N + j] for j in range(N)] for i in range(N)]
 
+    ones_mat = jnp.ones((TILE // 8, 128), jnp.float32)
+
+    def fsum(arr):
+        # Full reduction via one MXU pass (arr @ ones -> [8,128] partial,
+        # each column the row sum): the VPU's cross-lane shifts made the
+        # 14 per-step jnp.sum reductions cost a third of the kernel.
+        partial = jax.lax.dot_general(
+            arr, ones_mat, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return jnp.sum(partial) * (1.0 / 128.0)
+
     def comp(ref, i):
         return ref[i * 8 : (i + 1) * 8, :]
 
@@ -203,11 +215,11 @@ def _kernel(path_ref, fixed_ref, seed_ref, steps_ref,
                 nis += (2.0 * path_ref[row + _SI_OFF + i * P + j]) * innov[i] * innov[j]
 
         # Stats rows: 0=NEES sum, 1=NIS sum, 2..7=Σx, 10..15=Σx².
-        stats_ref[0, t] = jnp.sum(nees)
-        stats_ref[1, t] = jnp.sum(nis)
+        stats_ref[0, t] = fsum(nees)
+        stats_ref[1, t] = fsum(nis)
         for i in range(N):
-            stats_ref[2 + i, t] = jnp.sum(xt_new[i])
-            stats_ref[10 + i, t] = jnp.sum(xt_new[i] * xt_new[i])
+            stats_ref[2 + i, t] = fsum(xt_new[i])
+            stats_ref[10 + i, t] = fsum(xt_new[i] * xt_new[i])
         return ()
 
     jax.lax.fori_loop(0, steps, body, ())

@@ -8,6 +8,7 @@ integrator flow instead of hand-coded variational equations.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from . import constants as c
@@ -35,17 +36,16 @@ def acceleration(r: jnp.ndarray, degree: int = 2) -> jnp.ndarray:
             ]
         )
     if degree >= 3:
-        x, y, z = r[0], r[1], r[2]
-        re_r = c.R_EARTH / rnorm
-        zr = z / rnorm
-        k3 = -2.5 * c.J3 * c.GM_EARTH * re_r**3 / (rnorm2 * rnorm2)
-        a = a + k3 * jnp.stack(
-            [
-                x * (3.0 * zr - 7.0 * zr**3),
-                y * (3.0 * zr - 7.0 * zr**3),
-                z * (6.0 * zr**2 - 7.0 * zr**4 - 3.0 / 5.0),
-            ]
-        )
+        # J3 contribution as the exact gradient of its zonal potential
+        # term U3 = (mu/r) J3 (R/r)^3 P3(sin phi) — correct by
+        # construction (tests pin it against the full potential).
+        def u3(rv):
+            rn = jnp.linalg.norm(rv)
+            s = rv[2] / rn
+            p3 = 0.5 * (5.0 * s**3 - 3.0 * s)
+            return c.GM_EARTH / rn * c.J3 * (c.R_EARTH / rn) ** 3 * p3
+
+        a = a - jax.grad(u3)(r)
     return a
 
 

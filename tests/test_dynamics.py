@@ -66,6 +66,37 @@ def test_j2_raan_drift():
     np.testing.assert_allclose(float(raan_f), expected, atol=2e-5)
 
 
+def test_gravity_matches_potential_gradient():
+    """Every zonal term must equal -grad of the zonal potential
+    U = -(mu/r)[1 - sum J_n (R/r)^n P_n(sin phi)] — ground truth by
+    autodiff (this caught a wrong hand-coded J3 term)."""
+    import jax
+
+    def potential(r, degree):
+        rn = jnp.linalg.norm(r)
+        s = r[2] / rn
+        u = -c.GM_EARTH / rn
+        if degree >= 2:
+            u = u + c.GM_EARTH / rn * c.J2 * (c.R_EARTH / rn) ** 2 * 0.5 * (
+                3 * s**2 - 1
+            )
+        if degree >= 3:
+            u = u + c.GM_EARTH / rn * c.J3 * (c.R_EARTH / rn) ** 3 * 0.5 * (
+                5 * s**3 - 3 * s
+            )
+        return u
+
+    rng = np.random.default_rng(3)
+    for _ in range(4):
+        r = jnp.asarray(rng.standard_normal(3) * 2000 + np.array([6000.0, 800.0, 1500.0]))
+        for d in (0, 2, 3):
+            mine = gravity.acceleration(r, degree=d)
+            ref = -jax.grad(lambda x: potential(x, d))(r)
+            np.testing.assert_allclose(
+                np.asarray(mine), np.asarray(ref), rtol=1e-13, atol=1e-20
+            )
+
+
 def test_stm_matches_finite_differences():
     x0 = _leo_state()
     dt = 10.0

@@ -31,7 +31,7 @@ from . import (
     types,
 )
 from .types import FilterType
-from .filters import batch, hybrid, information, sqrt, srif, ukf, vanilla
+from .filters import adaptive, batch, hybrid, information, sqrt, srif, ukf, vanilla
 
 __version__ = "0.1.0"
 
@@ -58,4 +58,5 @@ __all__ = [
     "hybrid",
     "batch",
     "ukf",
+    "adaptive",
 ]

@@ -1,5 +1,5 @@
 """Filter implementations (the reference's L4 tier, SURVEY.md §1)."""
 
-from . import batch, hybrid, information, sqrt, srif, ukf, vanilla
+from . import adaptive, batch, hybrid, information, sqrt, srif, ukf, vanilla
 
-__all__ = ["vanilla", "information", "sqrt", "srif", "hybrid", "batch", "ukf"]
+__all__ = ["vanilla", "information", "sqrt", "srif", "hybrid", "batch", "ukf", "adaptive"]

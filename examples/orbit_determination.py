@@ -53,7 +53,9 @@ def main():
         sts, traj, key=jax.random.PRNGKey(0), sqrt_r=sqrt_r
     )
     has = np.asarray(ms.has_meas)
-    first = int(np.argmax(has))
+    # Start the OD arc at the first measurement (the epoch state is the
+    # step before it, so the first pass must not be step 0).
+    first = max(int(np.argmax(has)), 1)
     print(f"{has.sum()} measurements over {steps} steps; first pass at step {first}")
 
     sl = slice(first, steps)

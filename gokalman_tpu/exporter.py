@@ -36,15 +36,20 @@ class CSVExporter:
 
     def write(self, est) -> None:
         """Write one estimate row: value, +Nσ, -Nσ per state component
-        (σ from the covariance diagonal, exporter.go:34-45)."""
+        (σ from the covariance diagonal, exporter.go:34-45); components
+        whose header was `_`-prefixed get the value only, keeping rows
+        aligned with the header (the Go reference's Write always emits
+        three columns and silently misaligns such files)."""
         import numpy as np
 
         state = np.asarray(est.state).reshape(-1)
         covar = np.asarray(est.covariance)
         vals = []
         for i in range(state.shape[0]):
-            bound = self.covar_bound * math.sqrt(max(covar[i, i], 0.0))
-            vals += [f"{state[i]:f}", f"{bound:f}", f"{-bound:f}"]
+            vals.append(f"{state[i]:f}")
+            if i >= len(self._bounded) or self._bounded[i]:
+                bound = self.covar_bound * math.sqrt(max(covar[i, i], 0.0))
+                vals += [f"{bound:f}", f"{-bound:f}"]
         self._fh.write(self.delimiter.join(vals) + "\n")
 
     def write_all(self, ests) -> None:
@@ -57,8 +62,10 @@ class CSVExporter:
         for k in range(states.shape[0]):
             vals = []
             for i in range(states.shape[1]):
-                bound = self.covar_bound * math.sqrt(max(covars[k, i, i], 0.0))
-                vals += [f"{states[k, i]:f}", f"{bound:f}", f"{-bound:f}"]
+                vals.append(f"{states[k, i]:f}")
+                if i >= len(self._bounded) or self._bounded[i]:
+                    bound = self.covar_bound * math.sqrt(max(covars[k, i, i], 0.0))
+                    vals += [f"{bound:f}", f"{-bound:f}"]
             rows.append(self.delimiter.join(vals))
         self._fh.write("\n".join(rows) + "\n")
 

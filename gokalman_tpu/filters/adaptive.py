@@ -60,7 +60,7 @@ def new(x0, p0, f, g, h, noise: Noise, window: int = 30, mode: str = "r"):
         r_hat=jnp.asarray(noise.r),
         q_scale=jnp.ones((), x0.dtype if hasattr(x0, "dtype") else jnp.float64),
     )
-    return model._replace(noise=model.noise), state, (1.0 / float(window), mode)
+    return model, state, (1.0 / float(window), mode)
 
 
 @linalg.highp

@@ -207,24 +207,9 @@ def smooth_all(estimates: Estimate) -> Estimate:
     caller is responsible for only smoothing SNC-free arcs if strict
     reference parity is needed.
     """
-    phis = estimates.phi
+    from .smoothing import phi_inverse_smoother
 
-    def body(carry, xs):
-        x_next, p_next = carry
-        phi_next, x_k, p_k, is_last = xs
-        s = jnp.linalg.inv(phi_next)
-        x_sm = s @ x_next
-        p_sm = linalg.sym(s @ p_next @ s.T)
-        x_out = jnp.where(is_last, x_k, x_sm)
-        p_out = jnp.where(is_last, p_k, p_sm)
-        return (x_out, p_out), (x_out, p_out)
-
-    t = phis.shape[0]
-    is_last = jnp.arange(t) == (t - 1)
-    phi_next = jnp.roll(phis, -1, axis=0)
-    init = (estimates.state[-1], estimates.covariance[-1])
-    _, (xs_sm, ps_sm) = jax.lax.scan(
-        body, init, (phi_next, estimates.state, estimates.covariance, is_last),
-        reverse=True,
+    xs_sm, ps_sm = phi_inverse_smoother(
+        estimates.phi, estimates.state, estimates.covariance
     )
     return estimates._replace(state=xs_sm, covariance=ps_sm)

@@ -123,9 +123,7 @@ def step(model: Model, state: State, measurement, control=None, v=None,
         from .vanilla import mask_measurement
 
         h_k = model.h if h is None else h
-        r_k = (
-            _inv_or_zero(model.r_inv) if r is None else jnp.asarray(r)
-        )
+        r_k = model.noise.r if r is None else jnp.asarray(r)
         if meas_mask is not None:
             h_k, r_k, measurement = mask_measurement(h_k, r_k, measurement, meas_mask)
         model = model._replace(h=h_k, r_inv=_inv_or_zero(r_k))
@@ -141,8 +139,12 @@ def step(model: Model, state: State, measurement, control=None, v=None,
     i_pred = (jnp.eye(n, dtype=z.dtype) + m) @ i_pred
     info_pred = linalg.sym(z + m @ z.T)
 
-    # Estimated measurement from the previous state (information.go:192-194).
-    y_hat = model.h @ Estimate(state.i, state.i, state.info, state.info).state
+    # Estimated measurement from the previous state (information.go:192-194):
+    # x = I^{-1} i via a solve, zeros when the information matrix is
+    # still singular (the reference's warn-and-return-nil behavior).
+    x_prev = jnp.linalg.solve(state.info, state.i)
+    x_prev = jnp.where(jnp.all(jnp.isfinite(x_prev)), x_prev, jnp.zeros_like(x_prev))
+    y_hat = model.h @ x_prev
     if v is not None:
         y_hat = y_hat + v
 

@@ -1,0 +1,45 @@
+"""Shared backward smoothing scans.
+
+The reference implements the same Φ-inverse backward map twice
+(hybrid.go:209-238, srif.go:165-192); here both filters call one
+reverse lax.scan.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .. import linalg
+
+
+@linalg.highp
+def phi_inverse_smoother(phis, states, covs):
+    """Backward map x_k = Φ_{k+1}^{-1} x_{k+1},
+    P_k = Φ_{k+1}^{-1} P_{k+1} Φ_{k+1}^{-T} over stacked [T, ...] arrays;
+    the last entry is returned unchanged.
+
+    This is the reference's SmoothAll (a deterministic back-propagation
+    of the final estimate, not an RTS smoother — for the statistically
+    optimal version see ops.assoc_scan.smooth_parallel).
+    """
+
+    def body(carry, xs):
+        x_next, p_next = carry
+        phi_next, x_k, p_k, is_last = xs
+        s = jnp.linalg.inv(phi_next)
+        x_sm = s @ x_next
+        p_sm = linalg.sym(s @ p_next @ s.T)
+        x_out = jnp.where(is_last, x_k, x_sm)
+        p_out = jnp.where(is_last, p_k, p_sm)
+        return (x_out, p_out), (x_out, p_out)
+
+    t = phis.shape[0]
+    is_last = jnp.arange(t) == (t - 1)
+    # Φ at k+1 drives the map k+1 -> k: shift left by one step.
+    phi_next = jnp.roll(phis, -1, axis=0)
+    init = (states[-1], covs[-1])
+    _, (xs_sm, ps_sm) = jax.lax.scan(
+        body, init, (phi_next, states, covs, is_last), reverse=True
+    )
+    return xs_sm, ps_sm

@@ -201,28 +201,12 @@ def smooth_all(estimates: Estimate) -> Estimate:
     estimates with smoothed state folded back in via (R, b) such that
     state/covariance reproduce the smoothed values.
     """
-    phis = estimates.phi  # [T, n, n]
-    states = jax.vmap(lambda e: e.state)(estimates)  # via property: [T, n]
-    covs = estimates.covariance  # [T, n, n]
+    from .smoothing import phi_inverse_smoother
 
-    def body(carry, xs):
-        x_next, p_next = carry
-        phi_next, x_k, p_k, is_last = xs
-        s = jnp.linalg.inv(phi_next)
-        x_sm = s @ x_next
-        p_sm = s @ p_next @ s.T
-        x_out = jnp.where(is_last, x_k, x_sm)
-        p_out = jnp.where(is_last, p_k, p_sm)
-        return (x_out, p_out), (x_out, p_out)
-
-    t = phis.shape[0]
-    is_last = jnp.arange(t) == (t - 1)
-    # phi at k+1 drives the map from k+1 -> k: shift phis left by one.
-    phi_next = jnp.roll(phis, -1, axis=0)
-    init = (states[-1], covs[-1])
-    _, (xs_sm, ps_sm) = jax.lax.scan(
-        body, init, (phi_next, states, covs, is_last), reverse=True
+    xs_sm, ps_sm = phi_inverse_smoother(
+        estimates.phi, estimates.state, estimates.covariance
     )
+
     # Re-encode smoothed (x, P) as (R, b): R = chol(P^{-1})^T, b = R x.
     def encode(x, p):
         info = jnp.linalg.inv(p)

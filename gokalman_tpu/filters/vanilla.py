@@ -169,7 +169,6 @@ def step(
     k_gain = gain(model, p_pred)
 
     if prediction_only:
-        p = x_pred.shape[0] if model.h is None else model.h.shape[0]
         est = Estimate(
             state=x_pred,
             measurement=y_hat,
@@ -196,7 +195,6 @@ def step(
     return State(x, p, state.k + 1), est
 
 
-@linalg.highp
 @linalg.highp
 def innovations_log_likelihood(model: Model, ests: Estimate) -> jax.Array:
     """Gaussian innovations log-likelihood of a filtered run:
@@ -250,7 +248,7 @@ def run(
     Returns (final_state, stacked Estimates with leading T axis).
     """
     if steps is None:
-        for arr in (measurements, controls, ws, vs, hs):
+        for arr in (measurements, controls, ws, ws2, vs, hs, rs, meas_masks):
             if arr is not None:
                 steps = jnp.shape(arr)[0]
                 break

@@ -52,17 +52,18 @@ def test_error_all_batched():
 
 def test_csv_exporter(tmp_path):
     e = new_csv_exporter(["x", "_t", "v"], str(tmp_path), "out.csv")
-    est = _est([1.0, 2.0], p=jnp.diag(jnp.array([4.0, 9.0])))
+    est = _est([1.0, 7.0, 2.0], p=jnp.diag(jnp.array([4.0, 1.0, 9.0])))
     e.write(est)
     e.close()
     lines = (tmp_path / "out.csv").read_text().strip().split("\n")
     assert lines[0].startswith("# Creation date (UTC):")
-    # `_t` header loses its bound columns (exporter.go:74-76).
+    # `_t` header loses its bound columns (exporter.go:74-76) and the
+    # data row must stay aligned with it (the Go reference misaligns:
+    # its Write always emits three columns per component).
     assert lines[1] == "x,x+2s,x-2s,t,v,v+2s,v-2s"
     vals = lines[2].split(",")
-    assert float(vals[0]) == 1.0
-    assert float(vals[1]) == 4.0  # 2 * sqrt(4)
-    assert float(vals[2]) == -4.0
+    assert len(vals) == 7
+    assert [float(v) for v in vals] == [1.0, 4.0, -4.0, 7.0, 2.0, 6.0, -6.0]
     assert lines[-1].startswith("# Closing date (UTC):")
 
 

@@ -43,3 +43,38 @@ def phi_inverse_smoother(phis, states, covs):
         body, init, (phi_next, states, covs, is_last), reverse=True
     )
     return xs_sm, ps_sm
+
+
+@linalg.highp
+def rts_smoother(phis, q, means, covs):
+    """Rauch-Tung-Striebel fixed-interval smoother for time-varying
+    transitions: given filtered (means [T,n], covs [T,n,n]), the
+    per-step STMs Φ_{k+1} ([T,n,n], phis[k] maps k-1 -> k) and process
+    noise Q, returns the statistically optimal smoothed moments.
+
+    The reference has no RTS smoother at all — its SmoothAll is the
+    deterministic Φ-inverse backmap (phi_inverse_smoother above).  For
+    LTI systems the O(log T)-depth variant is ops.assoc_scan.smooth_parallel.
+    """
+    q = jnp.asarray(q)
+
+    def body(carry, xs):
+        x_next, p_next = carry
+        phi_next, x_k, p_k, is_last = xs
+        p_pred = phi_next @ p_k @ phi_next.T + q
+        # C = P_k Φ^T P_pred^{-1} via a solve on the transpose.
+        c = jnp.linalg.solve(p_pred.T, (p_k @ phi_next.T).T).T
+        x_sm = x_k + c @ (x_next - phi_next @ x_k)
+        p_sm = linalg.sym(p_k + c @ (p_next - p_pred) @ c.T)
+        x_out = jnp.where(is_last, x_k, x_sm)
+        p_out = jnp.where(is_last, p_k, p_sm)
+        return (x_out, p_out), (x_out, p_out)
+
+    t = means.shape[0]
+    is_last = jnp.arange(t) == (t - 1)
+    phi_next = jnp.roll(phis, -1, axis=0)
+    init = (means[-1], covs[-1])
+    _, (xs_sm, ps_sm) = jax.lax.scan(
+        body, init, (phi_next, means, covs, is_last), reverse=True
+    )
+    return xs_sm, ps_sm

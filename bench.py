@@ -68,7 +68,8 @@ def main():
 
         res = pipeline(0)
         jax.block_until_ready(res)
-        keys = [1, 2, 3]
+        # min-of-5: the tunneled chip shows ~50% run-to-run variance.
+        keys = [1, 2, 3, 4, 5]
         backend = "pallas"
     except Exception:
         @jax.jit

@@ -93,6 +93,37 @@ def main():
           f"velocity {np.linalg.norm(err[3:])*1e6:.3f} mm/s "
           f"(residual RMS per iteration: {np.asarray(rms).round(6)})")
 
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(figsize=(10, 5))
+        hrs = np.asarray(traj.times[first:]) / 3600.0
+        for name, res in results.items():
+            e = np.linalg.norm(
+                np.asarray(res.est_states)[:, :3] - np.asarray(truth)[:, :3], axis=1
+            )
+            ax.semilogy(hrs, np.maximum(e * 1e3, 1e-4), label=name, lw=1)
+        sig = np.sqrt(
+            np.trace(np.asarray(results["EKF"].covariances)[:, :3, :3], axis1=1, axis2=2)
+        )
+        ax.semilogy(hrs, 2 * sig * 1e3, "k--", lw=1, label="EKF 2σ")
+        pass_times = hrs[np.asarray(ms.has_meas)]
+        ax.plot(pass_times, np.full_like(pass_times, 1e-4), "|", color="gray",
+                label="measurements")
+        ax.set_xlabel("hours")
+        ax.set_ylabel("position error [m]")
+        ax.set_title("Orbit determination: position error vs truth")
+        ax.legend()
+        fig.tight_layout()
+        out = "orbit_determination.png"
+        fig.savefig(out, dpi=110)
+        print(f"wrote {out}")
+    except ImportError:
+        pass
+
 
 if __name__ == "__main__":
     main()

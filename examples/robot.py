@@ -57,6 +57,42 @@ def main(outdir="."):
     print(f"NEES mean (lagged reference semantics): {float(jnp.mean(nees[20:])):.3f}")
     print(f"NIS mean  (expect ~1): {float(jnp.mean(nis[20:])):.3f}")
 
+    # PNG gallery (the reference commits Kst-rendered plots; here they
+    # are generated on the fly when matplotlib is available).
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        import numpy as np
+
+        fig, axes = plt.subplots(1, 3, figsize=(14, 4))
+        states = np.asarray(runs.estimates.state)  # [S, T, 2]
+        for r_ in range(min(sims, 25)):
+            axes[0].plot(states[r_, :, 0], lw=0.5, alpha=0.4)
+        mean = np.asarray(runs.mean())
+        dev = np.asarray(runs.stddev())
+        axes[0].plot(mean[:, 0], "k", lw=2, label="ensemble mean")
+        axes[0].fill_between(
+            range(steps), mean[:, 0] - 2 * dev[:, 0], mean[:, 0] + 2 * dev[:, 0],
+            alpha=0.2, color="k", label="±2σ",
+        )
+        axes[0].set_title("Monte-Carlo position ensemble")
+        axes[0].legend()
+        axes[1].plot(np.asarray(nees), label="NEES")
+        axes[1].axhline(2.0, color="k", ls="--", label="n = 2")
+        axes[1].set_title("NEES")
+        axes[1].legend()
+        axes[2].plot(np.asarray(nis), label="NIS")
+        axes[2].axhline(1.0, color="k", ls="--", label="p = 1")
+        axes[2].set_title("NIS")
+        axes[2].legend()
+        fig.tight_layout()
+        fig.savefig(os.path.join(outdir, "robot.png"), dpi=110)
+        print(f"wrote {os.path.join(outdir, 'robot.png')}")
+    except ImportError:
+        pass
+
 
 if __name__ == "__main__":
     main(sys.argv[1] if len(sys.argv) > 1 else ".")

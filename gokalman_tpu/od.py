@@ -202,6 +202,71 @@ def run_srif_od(
 
 
 @linalg.highp
+def run_ukf_od(
+    x0_ref,
+    p0,
+    noise,
+    meas: MeasurementSet,
+    dt: float,
+    theta0: float = 0.0,
+    stations_list=(),
+    degree: int = 2,
+    method: str = "rk4",
+    substeps: int = 1,
+    t0: float = 0.0,
+    alpha: float = 1.0,
+    beta: float = 2.0,
+    kappa: float = 0.0,
+) -> ODResult:
+    """Full-state unscented orbit determination.
+
+    No reference trajectory, no STM, no Jacobians: the sigma points are
+    propagated through the orbital dynamics and the station measurement
+    function directly (fx/hx are the actual nonlinear maps).  This is
+    the estimator the reference's UKFType enum promises but never
+    delivers — and it needs none of the Prepare(Φ, H̃) machinery.
+    """
+    from .filters import ukf
+
+    x0_ref = jnp.asarray(x0_ref)
+    dtype = x0_ref.dtype
+    steps = meas.obs.shape[0]
+    eom = functools.partial(gravity.eom, degree=degree)
+    fx = integrators.flow(eom, dt, method, substeps)
+    times = t0 + dt * jnp.arange(1, steps + 1, dtype=dtype)
+
+    model, ustate0 = ukf.new(x0_ref, jnp.asarray(p0), noise, alpha, beta, kappa)
+
+    def body(carry, xs):
+        ustate = carry
+        real_obs, idx, has, t = xs
+        theta = theta0 + c.EARTH_ROTATION_RATE * t
+
+        def hx(x):
+            obs = jnp.stack([st.range_range_rate(s, x, theta) for s in stations_list])
+            return obs[jnp.maximum(idx, 0)]
+
+        st_u, est_u = ukf.step(model, ustate, real_obs, fx, hx)
+        # Pure prediction when no measurement: unscented time update only.
+        x_pred, p_pred, _, _ = ukf.predict(model, ustate, fx)
+        st_p = ukf.State(x_pred, p_pred, ustate.k + 1)
+        zeros_p = jnp.zeros_like(real_obs)
+        est_p = ukf.Estimate(
+            x_pred, zeros_p, zeros_p, p_pred, p_pred,
+            jnp.zeros((x_pred.shape[0], real_obs.shape[0]), dtype),
+        )
+        pick = lambda a, b: jnp.where(has, a, b)
+        ustate = jax.tree.map(pick, st_u, st_p)
+        est = jax.tree.map(pick, est_u, est_p)
+        out = (est.state, est.state, est.covariance, est.innovation, est.state, est)
+        return ustate, out
+
+    xs = (meas.obs, meas.station_idx, meas.has_meas, times)
+    _, (full, dev, cov, innov, refs, ests) = jax.lax.scan(body, ustate0, xs)
+    return ODResult(full, dev, cov, innov, refs, meas.has_meas, ests)
+
+
+@linalg.highp
 def run_batch_od(
     x0_ref,
     noise,

@@ -60,6 +60,25 @@ def awgn(q, r) -> Noise:
     return Noise(q, r, _safe_chol(q), _safe_chol(r))
 
 
+class BatchNoise(NamedTuple):
+    """Pre-recorded noise sequences (reference: noise.go:67-106).
+
+    The arrays feed straight into the scan drivers:
+    `vanilla.run(..., ws=bn.ws, ws2=bn.ws, vs=bn.vs)` replays the exact
+    recorded draws (the reference returns the same vector for both
+    Process() calls at a step, hence ws2=ws).  Unlike the reference,
+    running past the recorded length is a trace-time shape error rather
+    than a runtime panic.
+    """
+
+    ws: jax.Array  # [T, n] process noise draws
+    vs: jax.Array  # [T, p] measurement noise draws
+
+
+def batch(ws, vs) -> BatchNoise:
+    return BatchNoise(jnp.asarray(ws), jnp.asarray(vs))
+
+
 def process_sample(noise: Noise, key: jax.Array) -> jax.Array:
     """Draw w ~ N(0, Q) (reference: noise.go:133-136)."""
     z = jax.random.normal(key, (noise.q.shape[-1],), dtype=noise.q.dtype)

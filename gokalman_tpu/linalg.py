@@ -189,6 +189,36 @@ def inv_psd(a: jax.Array) -> jax.Array:
     return solve_psd(a, jnp.eye(a.shape[-1], dtype=a.dtype))
 
 
+@functools.partial(jax.jit, static_argnames=("iterations",))
+@highp
+def solve_dare(f: jax.Array, h: jax.Array, q: jax.Array, r: jax.Array,
+               iterations: int = 25) -> jax.Array:
+    """Steady-state predicted covariance: the discrete algebraic Riccati
+    equation P = F P Fᵀ - F P Hᵀ (H P Hᵀ + R)⁻¹ H P Fᵀ + Q, solved by
+    the structure-preserving doubling algorithm (quadratic convergence;
+    25 doublings ≈ 2^25 filter steps).  Jittable and differentiable —
+    nothing like it exists in the reference, which re-propagates the
+    covariance on every Update call forever (vanilla.go:149-168).
+    """
+    n = f.shape[0]
+    eye = jnp.eye(n, dtype=f.dtype)
+    # Standard SDA form X = AᵀXA - AᵀXB(R+BᵀXB)⁻¹BᵀXA + Q with A = Fᵀ.
+    a = f.T
+    g = h.T @ solve_psd(r, h)
+    x = q
+
+    def body(_, carry):
+        a, g, x = carry
+        igx = eye + g @ x
+        a_next = a @ jnp.linalg.solve(igx, a)
+        g_next = g + a @ jnp.linalg.solve(igx, g @ a.T)
+        x_next = x + a.T @ x @ jnp.linalg.solve(igx, a)
+        return a_next, sym(g_next), sym(x_next)
+
+    _, _, x = jax.lax.fori_loop(0, iterations, body, (a, g, x))
+    return x
+
+
 def quadratic_form(v: jax.Array, a: jax.Array) -> jax.Array:
     """v^T A v for a single vector (vmappable for batches)."""
     return v @ (a @ v)

@@ -141,6 +141,49 @@ def update(
 
 
 @linalg.highp
+def iekf_update(model: Model, state: State, phi, obs_fn, real_obs,
+                iters: int = 3):
+    """Iterated EKF measurement update (Gauss-Newton MAP iteration).
+
+    `obs_fn(deviation) -> (computed_obs, htilde)` evaluates the
+    nonlinear measurement and its Jacobian at the *current* posterior
+    (reference trajectory + deviation) — relinearizing what the plain
+    CKF/EKF freezes at the reference (hybrid.go:104-204).  With
+    iters=1 this reduces exactly to the EKF update.  Beyond anything in
+    the reference.
+    """
+    phi = jnp.asarray(phi)
+    p_bar = linalg.sym(phi @ state.p @ phi.T)
+    x_bar = phi @ state.x
+
+    x_i = x_bar
+    k_gain = None
+    h_i = None
+    for _ in range(max(iters, 1)):
+        comp, h_i = obs_fn(x_i)
+        pht = p_bar @ h_i.T
+        s = h_i @ pht + model.noise.r
+        k_gain = linalg.solve_psd(s, pht.T).T
+        # Gauss-Newton step: innovation relinearized about x_i.
+        innov_i = (jnp.asarray(real_obs) - comp) + h_i @ (x_i - x_bar)
+        x_i = x_bar + k_gain @ innov_i
+
+    p = joseph_update(p_bar, k_gain, h_i, model.noise.r)
+    comp_last, _ = obs_fn(x_i)
+    est = Estimate(
+        phi=phi,
+        state=x_i,
+        measurement=jnp.asarray(real_obs),
+        innovation=jnp.asarray(real_obs) - comp_last,
+        obs_dev=jnp.asarray(real_obs) - comp_last,
+        covariance=p,
+        pred_covariance=p_bar,
+        gain=k_gain,
+    )
+    return State(x_i, p, state.k + 1), est
+
+
+@linalg.highp
 def step(
     model: Model,
     state: State,

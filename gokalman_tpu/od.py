@@ -83,6 +83,7 @@ def run_hybrid_od(
     snc_mask: Optional[jnp.ndarray] = None,
     snc_ric: bool = False,
     t0: float = 0.0,
+    iekf_iters: int = 0,
 ) -> ODResult:
     """Hybrid CKF/EKF orbit determination over a measurement stream.
 
@@ -96,6 +97,12 @@ def run_hybrid_od(
     radial/in-track/cross-track frame and rotates it to ECI per step
     from the reference state (the sncRIC branch, hybrid_test.go:295-327)
     by composing Γ with the RIC DCM transpose.
+
+    `iekf_iters > 0` replaces the CKF measurement update with an
+    iterated (Gauss-Newton) update that relinearizes the station
+    observation about the current posterior — robust to deviations far
+    beyond the plain CKF's linearization range.  Applies to CKF-mode
+    measurement steps only and does not combine with SNC.
     """
     x0_ref = jnp.asarray(x0_ref)
     dtype = x0_ref.dtype
@@ -141,6 +148,21 @@ def run_hybrid_od(
             model, hstate, stm, htilde, real_obs, comp_obs, has,
             gamma=g, snc=snc, ekf=ekf,
         )
+        if iekf_iters > 0:
+            # Iterated (Gauss-Newton) measurement update: relinearize
+            # the station observation about the current posterior.
+            xr = x_ref  # capture post-propagation reference
+
+            def obs_fn(dev):
+                return _computed_obs(stations_list, xr + dev, theta, idx, has)
+
+            st_it, est_it = hybrid.iekf_update(
+                model, carry[1], stm, obs_fn, real_obs, iters=iekf_iters,
+            )
+            use_it = has & ~ekf
+            pick = lambda a, b: jnp.where(use_it, a, b)
+            hstate = jax.tree.map(pick, st_it, hstate)
+            est = jax.tree.map(pick, est_it, est)
         # EKF reference-trajectory reset (hybrid_test.go:358-366).
         shift = jnp.where(ekf & has, hstate.x, jnp.zeros_like(hstate.x))
         x_ref = x_ref + shift

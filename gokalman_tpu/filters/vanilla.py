@@ -195,6 +195,46 @@ def step(
     return State(x, p, state.k + 1), est
 
 
+@linalg.highp
+def gated_step(model: Model, state: State, measurement, control=None,
+               nis_gate: float = 9.0):
+    """CKF step with chi-square innovation gating (outlier rejection).
+
+    Computes the normalized innovation squared (NIS) against the
+    predicted innovation covariance; if it exceeds `nis_gate` (e.g. the
+    chi-square 99% quantile for p degrees of freedom), the measurement
+    is rejected and the step degrades to a pure prediction.  The
+    reference can only *observe* its injected outlier through IsWithinNσ
+    warnings (vanilla_test.go:61-68); this actually protects the state.
+    Returns (state, estimate, accepted: bool).
+    """
+    st_upd, est_upd = step(model, state, measurement, control)
+    st_prd, est_prd = step(model, state, measurement, control, prediction_only=True)
+    s = model.h @ est_upd.pred_covariance @ model.h.T + model.noise.r
+    nis = est_upd.innovation @ linalg.solve_psd(s, est_upd.innovation)
+    accept = nis <= nis_gate
+    pick = lambda a, b: jnp.where(accept, a, b)
+    return (
+        jax.tree.map(pick, st_upd, st_prd),
+        jax.tree.map(pick, est_upd, est_prd),
+        accept,
+    )
+
+
+@linalg.highp
+def run_gated(model: Model, state: State, measurements, controls=None,
+              nis_gate: float = 9.0):
+    """Scan driver for gated_step; also returns the accept mask [T]."""
+
+    def body(carry, xs):
+        meas, u = xs
+        st, est, ok = gated_step(model, carry, meas, u, nis_gate)
+        return st, (est, ok)
+
+    final, (ests, accepted) = jax.lax.scan(body, state, (measurements, controls))
+    return final, ests, accepted
+
+
 def steady_state(model: Model):
     """Steady-state (P^-, K, P^+) from the DARE (linalg.solve_dare).
 

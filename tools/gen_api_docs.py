@@ -1,0 +1,51 @@
+"""Regenerate docs/API.md from package docstrings (run from repo root)."""
+# The generation logic mirrors the inline script used to produce the
+# current docs/API.md; see git history.  Kept minimal on purpose.
+import importlib, inspect, io, os, sys
+
+sys.path.insert(0, ".")
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+import gokalman_tpu  # noqa: F401  (imports the full tree)
+
+out = io.StringIO()
+out.write("# API reference\n\nGenerated from docstrings (`python tools/gen_api_docs.py`).\n")
+
+
+def doc_first(obj, n=10):
+    d = inspect.getdoc(obj) or ""
+    return "\n".join(d.split("\n")[:n]).strip()
+
+
+for name in sorted(m for m in sys.modules if m.startswith("gokalman_tpu")):
+    mod = sys.modules[name]
+    if mod is None or not (getattr(mod, "__file__", "") or "").startswith(
+        os.path.abspath("gokalman_tpu")
+    ):
+        continue
+    out.write(f"\n## `{name}`\n\n")
+    if doc_first(mod, 4):
+        out.write(doc_first(mod, 4) + "\n")
+    for attr in sorted(vars(mod)):
+        obj = vars(mod)[attr]
+        if attr.startswith("_"):
+            continue
+        if inspect.isfunction(obj) and obj.__module__ == name:
+            try:
+                sig = str(inspect.signature(obj))
+            except Exception:
+                sig = "(...)"
+            out.write(f"\n### `{attr}{sig}`\n\n")
+            if doc_first(obj, 6):
+                out.write(doc_first(obj, 6) + "\n")
+        elif inspect.isclass(obj) and obj.__module__ == name:
+            out.write(f"\n### class `{attr}`\n\n")
+            if doc_first(obj, 6):
+                out.write(doc_first(obj, 6) + "\n")
+            if hasattr(obj, "_fields"):
+                out.write(f"\nFields: `{', '.join(obj._fields)}`\n")
+
+open("docs/API.md", "w").write(out.getvalue())
+print("wrote docs/API.md")

@@ -156,6 +156,9 @@ def run_hybrid_od(
             def obs_fn(dev):
                 return _computed_obs(stations_list, xr + dev, theta, idx, has)
 
+            # Re-run the update from the pre-step filter state
+            # (carry[1]; the EKF pre-fold is a no-op on CKF steps, the
+            # only ones the IEKF replaces below).
             st_it, est_it = hybrid.iekf_update(
                 model, carry[1], stm, obs_fn, real_obs, iters=iekf_iters,
             )

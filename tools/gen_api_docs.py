@@ -1,7 +1,7 @@
 """Regenerate docs/API.md from package docstrings (run from repo root)."""
 # The generation logic mirrors the inline script used to produce the
 # current docs/API.md; see git history.  Kept minimal on purpose.
-import importlib, inspect, io, os, sys
+import inspect, io, os, sys
 
 sys.path.insert(0, ".")
 os.environ.setdefault("JAX_PLATFORMS", "cpu")

@@ -84,11 +84,22 @@ def test_kernel_shape_guards():
     model, state0 = _model6()
     with pytest.raises(ValueError):
         pallas_mc.mc_chi_square_pallas(model, state0, 1000, 4, jnp.int32(0))
-    # Wrong state size.
-    f2 = jnp.eye(2)
-    model2, st2 = vanilla.new(
-        jnp.zeros(2), jnp.eye(2), f2, None, jnp.eye(2),
-        gn.awgn(0.1 * jnp.eye(2), jnp.eye(2)),
-    )
-    with pytest.raises(ValueError):
-        pallas_mc.mc_chi_square_pallas(model2, st2, pallas_mc.TILE, 4, jnp.int32(0))
+
+
+def test_kernel_generalizes_to_other_shapes():
+    """The kernel factory builds for any (n, p): run a 2-state/2-meas
+    and a 4-state/1-meas model through the interpreter."""
+    for n, p in [(2, 2), (4, 1)]:
+        f = jnp.eye(n) + 0.01 * jnp.triu(jnp.ones((n, n)), 1)
+        h = jnp.eye(p, n)
+        model, st = vanilla.new(
+            jnp.zeros(n), jnp.eye(n), f, None, h,
+            gn.awgn(0.01 * jnp.eye(n), 0.5 * jnp.eye(p)),
+        )
+        with pltpu.force_tpu_interpret_mode():
+            out = pallas_mc.mc_chi_square_pallas(
+                model, st, 1024, 5, jnp.int32(0), init_spread=False, tile=1024
+            )
+        assert out.nees_means.shape == (5,)
+        assert out.mean.shape == (5, n)
+        assert bool(jnp.all(jnp.isfinite(out.nees_means)))

@@ -19,6 +19,7 @@ from __future__ import annotations
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -41,6 +42,41 @@ def ensemble_sharding(mesh: Mesh, batch_axis: int = -1, ndim: int = 2) -> NamedS
     spec = [None] * ndim
     spec[batch_axis] = ENSEMBLE_AXIS
     return NamedSharding(mesh, P(*spec))
+
+
+def sharded_mc_chi_square_pallas(
+    model,
+    state0,
+    samples_per_device: int,
+    steps: int,
+    seed: int,
+    mesh: Optional[Mesh] = None,
+    init_spread: bool = True,
+    tile: int = 8192,
+):
+    """Multi-chip fused-kernel pipeline: every device runs the Pallas
+    kernel on its own ensemble shard (seeded by mesh position), and the
+    per-step statistics are combined with `pmean` over ICI — the
+    native-tier analogue of sharded_mc_chi_square.
+    """
+    from ..ops.pallas_mc import mc_chi_square_pallas
+
+    mesh = ensemble_mesh() if mesh is None else mesh
+    ndev = mesh.devices.size
+
+    def local(seed_arr):
+        out = mc_chi_square_pallas(
+            model, state0, samples_per_device, steps, seed_arr[0],
+            init_spread=init_spread, tile=min(tile, samples_per_device),
+        )
+        return jax.tree.map(lambda x: jax.lax.pmean(x, ENSEMBLE_AXIS), out)
+
+    seeds = (seed + jnp.arange(ndev, dtype=jnp.int32)).reshape(ndev, 1)
+    fn = jax.shard_map(
+        local, mesh=mesh, in_specs=P(ENSEMBLE_AXIS), out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(fn)(seeds)
 
 
 def sharded_mc_chi_square(

@@ -33,7 +33,7 @@ from gokalman_tpu.dynamics import elements, propagate, stations
 from gokalman_tpu.dynamics.propagate import MeasurementSet
 
 
-def main():
+def main(outdir="."):
     # Truth orbit: 7000 km LEO (the srif_test.go:73 scenario).
     r, v = elements.oe_to_rv(
         7000.0, 0.001, jnp.deg2rad(30.0), jnp.deg2rad(80.0), jnp.deg2rad(40.0), 0.0
@@ -118,7 +118,7 @@ def main():
         ax.set_title("Orbit determination: position error vs truth")
         ax.legend()
         fig.tight_layout()
-        out = "orbit_determination.png"
+        out = os.path.join(outdir, "orbit_determination.png")
         fig.savefig(out, dpi=110)
         print(f"wrote {out}")
     except ImportError:
@@ -126,4 +126,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    main(sys.argv[1] if len(sys.argv) > 1 else ".")

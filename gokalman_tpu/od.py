@@ -33,6 +33,7 @@ class ODResult(NamedTuple):
     ref_states: jax.Array  # [T, 6] reference trajectory (post EKF resets)
     has_meas: jax.Array  # [T]
     estimates: object  # stacked filter Estimate pytree (for smoothing)
+    accepted: object = None  # [T] gate decisions (None when ungated)
 
 
 def _computed_obs(station_list, state, theta, idx, has):
@@ -84,6 +85,7 @@ def run_hybrid_od(
     snc_ric: bool = False,
     t0: float = 0.0,
     iekf_iters: int = 0,
+    nis_gate: Optional[float] = None,
 ) -> ODResult:
     """Hybrid CKF/EKF orbit determination over a measurement stream.
 
@@ -103,6 +105,11 @@ def run_hybrid_od(
     observation about the current posterior — robust to deviations far
     beyond the plain CKF's linearization range.  Applies to CKF-mode
     measurement steps only and does not combine with SNC.
+
+    `nis_gate` enables chi-square innovation gating: measurements whose
+    normalized innovation squared exceeds the gate are rejected (the
+    step degrades to pure prediction) — protection against corrupted
+    observations that the reference can only log via IsWithinNσ.
     """
     x0_ref = jnp.asarray(x0_ref)
     dtype = x0_ref.dtype
@@ -127,6 +134,7 @@ def run_hybrid_od(
     def body(carry, xs):
         x_ref, hstate = carry
         real_obs, idx, has, ekf, snc, t = xs
+        hstate_pre = hstate
         g = gamma if snc is not None else None
         if g is not None and snc_ric:
             # Γ_eff = Γ R^T so that Γ_eff Q_ric Γ_eff^T = Γ (R^T Q_ric R) Γ^T.
@@ -144,6 +152,16 @@ def run_hybrid_od(
         x_ref, stm = integrators.x_and_jac(phi_flow, x_ref)
         theta = theta0 + c.EARTH_ROTATION_RATE * t
         comp_obs, htilde = _computed_obs(stations_list, x_ref, theta, idx, has)
+        accept = jnp.asarray(True)
+        if nis_gate is not None:
+            # CKF-form innovation (in EKF mode the prior deviation is
+            # ~0 so this reduces to the raw observation deviation).
+            innov_g = (real_obs - comp_obs) - htilde @ (stm @ hstate_pre.x)
+            p_bar_g = stm @ hstate_pre.p @ stm.T
+            s_g = htilde @ p_bar_g @ htilde.T + model.noise.r
+            nis_g = innov_g @ linalg.solve_psd(s_g, innov_g)
+            accept = nis_g <= nis_gate
+            has = has & accept
         hstate, est = hybrid.step(
             model, hstate, stm, htilde, real_obs, comp_obs, has,
             gamma=g, snc=snc, ekf=ekf,
@@ -171,14 +189,15 @@ def run_hybrid_od(
         x_ref = x_ref + shift
         hstate = hstate._replace(x=hstate.x - shift)
         full = x_ref + hstate.x
-        out = (full, hstate.x, est.covariance, est.innovation, x_ref, est)
+        out = (full, hstate.x, est.covariance, est.innovation, x_ref, est, accept)
         return (x_ref, hstate), out
 
     xs = (meas.obs, meas.station_idx, meas.has_meas, ekf_mask, snc_mask, times)
-    _, (full, dev, cov, innov, refs, ests) = jax.lax.scan(
+    _, (full, dev, cov, innov, refs, ests, accepted) = jax.lax.scan(
         body, (x0_ref, hstate0), xs
     )
-    return ODResult(full, dev, cov, innov, refs, meas.has_meas, ests)
+    return ODResult(full, dev, cov, innov, refs, meas.has_meas, ests,
+                    accepted if nis_gate is not None else None)
 
 
 @linalg.highp

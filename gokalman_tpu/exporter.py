@@ -91,3 +91,28 @@ class CSVExporter:
 def new_csv_exporter(headers, filepath, filename):
     """Default 2σ bounds (reference: exporter.go:94-96)."""
     return CSVExporter(headers, filepath, filename, covar_bound=2.0)
+
+
+def read_csv(path):
+    """Read a CSV written by CSVExporter (or any comment-prefixed
+    numeric CSV): returns (headers, data [rows, cols] float array).
+
+    The reference's examples consume pre-recorded CSV inputs
+    (examples/jerkcar reads measurement files); this is the matching
+    ingest utility — `#` comment lines are skipped, the first
+    non-comment line is the header.
+    """
+    import numpy as np
+
+    headers = None
+    rows = []
+    with open(path) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            if headers is None:
+                headers = line.split(",")
+                continue
+            rows.append([float(v) for v in line.split(",")])
+    return headers, np.asarray(rows)

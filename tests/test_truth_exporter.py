@@ -67,6 +67,29 @@ def test_csv_exporter(tmp_path):
     assert lines[-1].startswith("# Closing date (UTC):")
 
 
+def test_csv_round_trip(tmp_path):
+    """write_all -> read_csv recovers the numeric content (the ingest
+    path the reference's examples need for recorded inputs)."""
+    from gokalman_tpu.exporter import read_csv
+
+    t = 3
+    ests = Estimate(
+        jnp.arange(t * 2, dtype=float).reshape(t, 2),
+        jnp.zeros((t, 1)),
+        jnp.zeros((t, 1)),
+        jnp.broadcast_to(jnp.eye(2), (t, 2, 2)),
+        jnp.broadcast_to(jnp.eye(2), (t, 2, 2)),
+        jnp.zeros((t, 2, 1)),
+    )
+    with CSVExporter(["a", "b"], str(tmp_path), "rt.csv", covar_bound=2.0) as e:
+        e.write_all(ests)
+    headers, data = read_csv(str(tmp_path / "rt.csv"))
+    assert headers == ["a", "a+2s", "a-2s", "b", "b+2s", "b-2s"]
+    assert data.shape == (t, 6)
+    np.testing.assert_allclose(data[:, 0], np.arange(t) * 2.0)
+    np.testing.assert_allclose(data[:, 3], np.arange(t) * 2.0 + 1.0)
+
+
 def test_csv_write_all(tmp_path):
     t = 4
     ests = Estimate(

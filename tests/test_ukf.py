@@ -83,6 +83,27 @@ def test_nonlinear_range_bearing_tracking():
     assert 1.0 < nees.mean() < 10.0, nees.mean()
 
 
+def test_gradients_flow_through_ukf():
+    """The UKF is differentiable end-to-end (sigma points, cholesky,
+    gain): gradients of an innovation loss w.r.t. the noise scale are
+    finite and nonzero — UKF-based ML fitting works like the linear
+    case (test_differentiable.py)."""
+    f, g, h, q, r, x0, p0 = midterm2_system()
+    fx = lambda x: f @ x
+    hx = lambda x: h @ x
+    ys = jnp.asarray(np.random.default_rng(3).standard_normal((10, 1)))
+
+    def loss(log_qs):
+        nz = gn.noiseless(jnp.exp(log_qs) * (q + 1e-12 * jnp.eye(3)), r)
+        model, state = ukf.new(x0, p0, nz)
+        _, ests = ukf.run(model, state, ys, fx, hx)
+        return jnp.sum(ests.innovation**2)
+
+    gval = jax.grad(loss)(jnp.asarray(0.0))
+    assert bool(jnp.isfinite(gval))
+    assert abs(float(gval)) > 0
+
+
 def test_vmap_over_ensemble():
     f, g, h, q, r, x0, p0 = midterm2_system()
     nz = gn.noiseless(q, r)

@@ -1,13 +1,18 @@
-"""4-state jerk-car example with a time-varying measurement model.
+"""The reference's jerkcar example, faithfully: the exact Go system
+(reference: examples/jerkcar/main.go:92-161) on the exact recorded
+input streams, run as ONE padded time-varying scan per filter.
 
-Rebuild of the reference's jerkcar example (reference:
-examples/jerkcar/main.go): a car with state (position, velocity,
-acceleration, jerk-bias), measured by a 1x4 position sensor normally
-and a 2x4 position+velocity sensor every 10th step — the reference
-mutates H and R mid-stream (main.go:141-158); here the step schedule is
-a padded (hs, rs, masks) input to one scan.  Vanilla, information, and
-square-root filters run side-by-side on the same stream and their CSV
-traces are exported with 2-sigma bounds.
+State = (position, velocity, acceleration, sensor-bias); every step
+measures acceleration+bias (H2 = [0,0,1,1]); every 10th step a 2x4
+H1 adds a position row — the reference mutates H and R mid-stream
+(main.go:141-158), here that is the (hs, rs, masks) schedule.  Vanilla,
+information, and square-root filters run side-by-side and export CSV
+traces with 2-sigma bounds, matching the reference's committed
+vanilla.csv / information.csv / sqrt.csv row-for-row (verified at 2e-6
+by tests/test_jerkcar_golden.py).
+
+If the reference's recorded CSVs are unavailable, an equivalent input
+stream is synthesized from the same system so the example still runs.
 
 Run:  python examples/jerkcar.py [outdir]
 """
@@ -18,72 +23,87 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
+
+# The reference is float64 gonum; run the parity example in x64 too.
+jax.config.update("jax_enable_x64", True)
+
 import jax.numpy as jnp
 import numpy as np
 
 import gokalman_tpu as gk
+from gokalman_tpu.workloads import jerkcar as jc
+
+
+def synthesize_inputs(steps=2000, seed=7):
+    """Stand-in (uvec, yacc, ypos) when the recorded CSVs are absent:
+    truth from the same F/G dynamics with AWGN measurement noise."""
+    key = jax.random.PRNGKey(seed)
+    ku, kv = jax.random.split(key)
+    uvec = 0.1 * np.asarray(jax.random.normal(ku, (steps + 1,)))
+    x = np.array([0.0, 0.45, 0.0, 0.09])
+    yacc, ypos = [], []
+    vs = np.asarray(jax.random.normal(kv, (steps, 2)))
+    for k in range(steps):
+        x = jc.F @ x + jc.G[:, 0] * uvec[k]
+        yacc.append(jc.H2[0] @ x + np.sqrt(0.05) * vs[k, 0])
+        ypos.append(x[0] + np.sqrt(0.5) * vs[k, 1])
+    return uvec, np.asarray(yacc), np.asarray(ypos)
 
 
 def main(outdir="."):
-    dt = 0.1
-    n, steps = 4, 200
-    f = jnp.array(
-        [
-            [1.0, dt, 0.5 * dt * dt, 0.0],
-            [0.0, 1.0, dt, 0.0],
-            [0.0, 0.0, 1.0, dt],
-            [0.0, 0.0, 0.0, 1.0],
-        ]
-    )
-    q = 1e-6 * jnp.eye(n)
-    h_full = jnp.array([[1.0, 0, 0, 0], [0, 1.0, 0, 0]])  # every 10th step
-    h_pos = jnp.array([[1.0, 0, 0, 0], [0.0, 0, 0, 0]])  # padded 1x4
-    r_full = jnp.diag(jnp.array([0.25, 0.5]))
-    r_pos = jnp.diag(jnp.array([0.25, 1.0]))
-    x0 = jnp.zeros(n)
-    p0 = jnp.diag(jnp.array([10.0, 1.0, 0.1, 0.01]))
+    if os.path.isdir(jc.REFERENCE_DIR):
+        uvec, yacc, ypos = jc.load_inputs()
+        print(f"using recorded inputs from {jc.REFERENCE_DIR}")
+    else:
+        uvec, yacc, ypos = synthesize_inputs()
+        print("reference CSVs unavailable; using synthesized inputs")
 
-    full_step = (jnp.arange(steps) % 10) == 0
-    hs = jnp.where(full_step[:, None, None], h_full, h_pos)
-    rs = jnp.where(full_step[:, None, None], r_full, r_pos)
-    masks = jnp.stack([jnp.ones(steps, bool), full_step], axis=1)
+    headers = ["position", "velocity", "acceleration", "bias"]
+    t = len(yacc)
 
-    # Synthesize a truth trajectory + noisy measurements (the reference
-    # reads pre-recorded CSVs; the system is the same).
-    key = jax.random.PRNGKey(7)
-    kw, kv = jax.random.split(key)
-    lq = jnp.linalg.cholesky(q)
-    truth = [jnp.array([0.0, 5.0, 0.0, 0.02])]
-    for k in range(steps):
-        wk = lq @ jax.random.normal(jax.random.fold_in(kw, k), (n,))
-        truth.append(f @ truth[-1] + wk)
-    truth = jnp.stack(truth[1:])
-    vnoise = jax.vmap(
-        lambda k: jnp.sqrt(jnp.diag(r_full)) * jax.random.normal(k, (2,))
-    )(jax.random.split(kv, steps))
-    ys = jnp.einsum("tpn,tn->tp", hs, truth) + vnoise * masks
+    ys, us, hs, rs, masks = (jnp.asarray(a) for a in
+                             jc.schedule(yacc, ypos, uvec))
 
-    noise = gk.noise.awgn(q, r_full)
-    filters = {
-        "vanilla": gk.vanilla,
-        "information": gk.information,
-        "sqrt": gk.sqrt,
-    }
-    headers = ["x", "v", "a", "j"]
-    for name, mod in filters.items():
-        if mod is gk.vanilla:
-            model, st = mod.new(x0, p0, f, None, h_full, noise)
-            _, ests = mod.run(model, st, measurements=ys, hs=hs, rs=rs, meas_masks=masks)
-        elif mod is gk.information:
-            model, st = mod.new_from_state(x0, p0, f, None, h_full, noise)
-            _, ests = mod.run(model, st, ys, hs=hs, rs=rs, meas_masks=masks)
-        else:
-            model, st = mod.new(x0, p0, f, None, h_full, noise)
-            _, ests = mod.run(model, st, ys, hs=hs, rs=rs, meas_masks=masks)
+    # Vanilla CKF (main.go:107-115).
+    model, st = gk.vanilla.new(jc.X0, jc.P0, jc.F, jc.G, jc.H1,
+                               gk.noise.noiseless(jc.Q, jc.R))
+    _, vests = jax.jit(lambda m, s: gk.vanilla.run(
+        m, s, measurements=ys, controls=us, hs=hs, rs=rs,
+        meas_masks=masks))(model, st)
+
+    # Square-root KF (main.go:126-131), Go-compatible upper-factor mode.
+    q, r = jnp.asarray(jc.Q), jnp.asarray(jc.R)
+    snoise = gk.noise.Noise(q, r, jnp.linalg.cholesky(q), jnp.linalg.cholesky(r))
+    smodel, sst = gk.sqrt.new(jc.X0, jc.P0, jc.F, jc.G, jc.H1, snoise)
+    _, sests = jax.jit(lambda m, s: gk.sqrt.run(
+        m, s, measurements=ys, controls=us, hs=hs, rs=rs, meas_masks=masks,
+        go_upper_pred_factor=True))(smodel, sst)
+
+    # Information KF from zero information (main.go:117-124), with the
+    # reference's stale-Rinv schedule (see workloads.jerkcar.schedule).
+    iys, ius, ihs, irs, imasks = (jnp.asarray(a) for a in jc.schedule(
+        yacc, ypos, uvec, info_rinv_quirk=True))
+    imodel, ist = gk.information.new(np.zeros(4), np.zeros((4, 4)),
+                                     jc.F, jc.G, jc.H2,
+                                     gk.noise.noiseless(jc.Q, jc.RA))
+    _, iests = jax.jit(lambda m, s: gk.information.run(
+        m, s, measurements=iys, controls=ius, hs=ihs, rs=irs,
+        meas_masks=imasks))(imodel, ist)
+
+    class _Est0:  # est0 row: the Go mains push the initial estimate first
+        def __init__(self, x, p):
+            self.state, self.covariance = x, p
+
+    est0 = {"vanilla": _Est0(jc.X0, jc.P0), "sqrt": _Est0(jc.X0, jc.P0),
+            "information": _Est0(np.zeros(4), np.zeros((4, 4)))}
+    for name, ests in (("vanilla", vests), ("sqrt", sests),
+                       ("information", iests)):
         with gk.exporter.CSVExporter(headers, outdir, f"{name}.csv", 2.0) as e:
+            e.write(est0[name])
             e.write_all(ests)
-        err = float(jnp.sqrt(jnp.mean((ests.state[:, 0] - truth[:, 0]) ** 2)))
-        print(f"{name:12s} position RMS error: {err:.4f}")
+        x_end = np.asarray(ests.state)[-1]
+        print(f"{name:12s} final state: {np.array2string(x_end, precision=4)}")
+    print(f"wrote {t}-step traces to {outdir}/{{vanilla,sqrt,information}}.csv")
 
 
 if __name__ == "__main__":

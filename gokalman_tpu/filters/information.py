@@ -29,6 +29,27 @@ def _inv_or_zero(m: jax.Array) -> jax.Array:
     return jnp.where(finite, inv, jnp.zeros_like(inv))
 
 
+def _norm1(m: jax.Array) -> jax.Array:
+    return jnp.max(jnp.sum(jnp.abs(m), axis=-2), axis=-1)
+
+
+def _inv_or_zero_cond(m: jax.Array) -> jax.Array:
+    """gonum-faithful estimate-side inverse: zeros when ill-conditioned.
+
+    The reference's InformationEstimate.Covariance() discards the
+    computed inverse whenever mat64.Inverse reports a Condition error
+    (information.go:278-293) — gonum flags cond_1(A) > 1e16.  The
+    filter *constructor* keeps ill-conditioned inverses (the Go ctor
+    only prints a warning and uses the receiver anyway,
+    information.go:38-50), so this gate applies only on the
+    estimate-export path, exactly like the reference.
+    """
+    inv = jnp.linalg.inv(m)
+    cond = _norm1(m) * _norm1(inv)
+    ok = jnp.all(jnp.isfinite(inv)) & (cond <= 1e16)
+    return jnp.where(ok, inv, jnp.zeros_like(inv))
+
+
 class Model(NamedTuple):
     f_inv: jax.Array  # [n, n] inverse state transition (information.go:38)
     g: Optional[jax.Array]  # [n, m] control or None
@@ -65,14 +86,14 @@ class Estimate(NamedTuple):
     @property
     def covariance(self) -> jax.Array:
         if self.info_mat.ndim == 2:
-            return _inv_or_zero(self.info_mat)
-        return jax.vmap(_inv_or_zero)(self.info_mat)
+            return _inv_or_zero_cond(self.info_mat)
+        return jax.vmap(_inv_or_zero_cond)(self.info_mat)
 
     @property
     def pred_covariance(self) -> jax.Array:
         if self.pred_info_mat.ndim == 2:
-            return _inv_or_zero(self.pred_info_mat)
-        return jax.vmap(_inv_or_zero)(self.pred_info_mat)
+            return _inv_or_zero_cond(self.pred_info_mat)
+        return jax.vmap(_inv_or_zero_cond)(self.pred_info_mat)
 
     def within_nsigma(self, n_sigma) -> jax.Array:
         return linalg.is_within_nsigma(self.state, self.covariance, n_sigma)
@@ -140,10 +161,10 @@ def step(model: Model, state: State, measurement, control=None, v=None,
     info_pred = linalg.sym(z + m @ z.T)
 
     # Estimated measurement from the previous state (information.go:192-194):
-    # x = I^{-1} i via a solve, zeros when the information matrix is
-    # still singular (the reference's warn-and-return-nil behavior).
-    x_prev = jnp.linalg.solve(state.info, state.i)
-    x_prev = jnp.where(jnp.all(jnp.isfinite(x_prev)), x_prev, jnp.zeros_like(x_prev))
+    # x = I^{-1} i, zeros while the information matrix is singular or
+    # ill-conditioned (the reference's prevEst.State() goes through the
+    # condition-gated Covariance(), information.go:257-264).
+    x_prev = _inv_or_zero_cond(state.info) @ state.i
     y_hat = model.h @ x_prev
     if v is not None:
         y_hat = y_hat + v

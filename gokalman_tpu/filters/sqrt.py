@@ -82,10 +82,22 @@ def new(x0, p0, f, g, h, noise: Noise):
 
 
 @linalg.highp
-def time_update_factor(model: Model, s: jax.Array) -> jax.Array:
-    """S^- lower with S^- S^-T = F S S^T F^T + Q via QR (squareroot.go:155-185)."""
+def time_update_factor(model: Model, s: jax.Array, go_upper: bool = False) -> jax.Array:
+    """S^- lower with S^- S^-T = F S S^T F^T + Q via QR (squareroot.go:155-185).
+
+    go_upper=True mirrors a genuine reference quirk: the Go filter
+    extracts the *upper* QR factor U and uses it directly as its
+    predicted sqrt factor (squareroot.go:179-185, then Uᵀ in the
+    Δ-array bottom blocks, squareroot.go:190-213, and P⁻ = U Uᵀ in
+    PredCovariance, squareroot.go:330-340).  Since U Uᵀ ≠ UᵀU =
+    F P Fᵀ + Q, the Go measurement update runs against a *rotated*
+    predicted covariance.  The default returns the correct lower
+    factor; the quirk mode exists for row-level parity with the
+    committed Go outputs (tests/test_jerkcar_golden.py).
+    """
     c = jnp.concatenate([(model.f @ s).T, model.noise.sqrt_q.T], axis=0)
-    return linalg.qr_r(c).T
+    u = linalg.qr_r(c)
+    return u if go_upper else u.T
 
 
 @linalg.highp
@@ -107,14 +119,15 @@ def measurement_update_factors(model: Model, s_pred: jax.Array):
 
 @linalg.highp
 def step(model: Model, state: State, measurement, control=None, w2=None, v=None,
-         h=None, r=None, meas_mask=None):
+         h=None, r=None, meas_mask=None, go_upper_pred_factor: bool = False):
     """One square-root update (reference: squareroot.go:129-274).
 
     Matches the reference's noise convention: no process-noise draw in
     the prediction, one draw (`w2`) added after the measurement update
     (squareroot.go:268).  `h`/`r`/`meas_mask` override the measurement
     model per step (time-varying padded measurements, see
-    vanilla.mask_measurement).
+    vanilla.mask_measurement).  `go_upper_pred_factor` (static) mirrors
+    the reference's upper-factor time update (see time_update_factor).
     """
     if h is not None or r is not None or meas_mask is not None:
         from .vanilla import mask_measurement
@@ -131,7 +144,7 @@ def step(model: Model, state: State, measurement, control=None, w2=None, v=None,
     if model.g is not None and control is not None:
         x_pred = x_pred + model.g @ control
 
-    s_pred = time_update_factor(model, state.s)
+    s_pred = time_update_factor(model, state.s, go_upper=go_upper_pred_factor)
     s_plus, syy, w_mat = measurement_update_factors(model, s_pred)
     # K = W Syy^{-1}: solve Syy^T K^T = W^T (triangular).
     k_gain = jax.scipy.linalg.solve_triangular(syy.T, w_mat.T, lower=False).T
@@ -158,7 +171,7 @@ def step(model: Model, state: State, measurement, control=None, w2=None, v=None,
 
 @linalg.highp
 def run(model: Model, state: State, measurements, controls=None, key=None,
-        hs=None, rs=None, meas_masks=None):
+        hs=None, rs=None, meas_masks=None, go_upper_pred_factor: bool = False):
     """lax.scan driver over the time axis (hs/rs/meas_masks: per-step
     measurement-model overrides, see vanilla.run)."""
     steps = jnp.shape(measurements)[0]
@@ -171,7 +184,8 @@ def run(model: Model, state: State, measurements, controls=None, key=None,
             kw, kv = jax.random.split(k)
             w2 = process_sample(model.noise, kw)
             v = measurement_sample(model.noise, kv)
-        return step(model, carry, meas, ctrl, w2, v, h_k, r_k, mask)
+        return step(model, carry, meas, ctrl, w2, v, h_k, r_k, mask,
+                    go_upper_pred_factor=go_upper_pred_factor)
 
     xs = (measurements, controls, keys, hs, rs, meas_masks)
     return jax.lax.scan(body, state, xs, length=steps)

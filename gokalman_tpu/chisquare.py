@@ -14,9 +14,10 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from . import linalg
+from . import linalg  # noqa: F401  (re-exported for callers)
 from .filters import vanilla
 from .montecarlo import MonteCarloRuns
+from .ops.ensemble import _covariance_path_sequential
 
 
 def chi_square(
@@ -42,27 +43,49 @@ def chi_square(
 
     measurements = runs.estimates.measurement  # [S, T, p]
     truth_states = runs.estimates.state  # [S, T, n]
+    steps = measurements.shape[1]
 
-    def one_run(meas_seq, truth_seq):
-        _, ests = vanilla.run(model, state0, measurements=meas_seq, controls=controls)
-        out = {}
-        if with_nees:
-            err = truth_seq - ests.state  # [T, n]
-            pinv = jax.vmap(linalg.inv_psd)(ests.covariance)  # [T, n, n]
-            out["nees"] = jax.vmap(linalg.quadratic_form)(err, pinv)
-        if with_nis:
-            # Innovation covariance from the *predicted* covariance
-            # (pure prediction: H P^- H^T + R, chisquare.go:66-71).
-            h = model.h
-            pyy = (
-                jnp.einsum("ij,tjk,lk->til", h, ests.pred_covariance, h)
-                + model.noise.r
-            )
-            pyy_inv = jax.vmap(linalg.inv_psd)(pyy)
-            out["nis"] = jax.vmap(linalg.quadratic_form)(ests.innovation, pyy_inv)
-        return out
+    # The linear covariance path (P^±, K, S) is measurement-independent,
+    # so propagate it ONCE and share the per-step inverses across all S
+    # runs — the reference re-runs the whole filter (and re-inverts the
+    # same matrices) per run (chisquare.go:37-79); the fused tier
+    # already exploits this (ops/ensemble.py:46-66).
+    k_gains, s_inv, p_plus_inv = _covariance_path_sequential(
+        model, state0.p, steps
+    )
 
-    per_run = jax.vmap(one_run)(measurements, truth_states)  # each [S, T]
-    nees_means = jnp.mean(per_run["nees"], axis=0) if with_nees else None
-    nis_means = jnp.mean(per_run["nis"], axis=0) if with_nis else None
+    f, g, h = model.f, model.g, model.h
+
+    def state_replay(meas_seq):
+        """Per-run state recursion with the shared gains: the state
+        update of vanilla.step (vanilla.go:138-195) minus the
+        covariance algebra."""
+
+        def body(x, xs):
+            y, k_gain, u = xs
+            x_pred = f @ x
+            if g is not None and u is not None:
+                x_pred = x_pred + g @ u
+            innov = y - h @ x_pred
+            x_plus = x_pred + k_gain @ innov
+            return x_plus, (x_plus, innov)
+
+        _, (states, innovs) = jax.lax.scan(
+            body, state0.x, (meas_seq, k_gains, controls)
+        )
+        return states, innovs
+
+    states, innovs = jax.vmap(state_replay)(measurements)  # [S,T,n], [S,T,p]
+
+    nees_means = None
+    if with_nees:
+        err = truth_states - states  # [S, T, n]
+        nees = jnp.einsum("stn,tnm,stm->st", err, p_plus_inv, err)
+        nees_means = jnp.mean(nees, axis=0)
+    nis_means = None
+    if with_nis:
+        # Innovation covariance from the *predicted* covariance
+        # (pure prediction: S = H P^- H^T + R, chisquare.go:66-71).
+        nis = jnp.einsum("stp,tpq,stq->st", innovs, s_inv, innovs)
+        nis_means = jnp.mean(nis, axis=0)
     return nis_means, nees_means

@@ -339,7 +339,16 @@ def run(
             kw, kw2, kv = jax.random.split(k, 3)
             w = process_sample(model.noise, kw) if w is None else w
             w2 = process_sample(model.noise, kw2) if w2 is None else w2
-            v = measurement_sample(model.noise, kv) if v is None else v
+            if v is None:
+                if r_k is not None:
+                    # Per-step R override: draw the estimated-measurement
+                    # noise from the step's own covariance so the y-hat
+                    # trace stays consistent with the step's noise model
+                    # (the Go SetNoise swap replaces the sampler too).
+                    z = jax.random.normal(kv, (r_k.shape[-1],), dtype=r_k.dtype)
+                    v = jnp.linalg.cholesky(r_k) @ z
+                else:
+                    v = measurement_sample(model.noise, kv)
         new_state, est = step(
             model, carry, meas, ctrl, w, w2, v,
             prediction_only=prediction_only, h=h_k, r=r_k, meas_mask=mask,

@@ -73,6 +73,7 @@ def monte_carlo(
     steps: int,
     key: jax.Array,
     controls: Optional[jax.Array] = None,
+    init_spread: bool = False,
 ) -> MonteCarloRuns:
     """Run `samples` independent pure-predictor simulations.
 
@@ -81,17 +82,27 @@ def monte_carlo(
     `key`.  The runs never interact, so this is a plain vmap; shard the
     leading axis with parallel.mesh for multi-chip ensembles.
 
+    init_spread=True draws each run's initial state from
+    N(state0.x, state0.p) — the reference robot example's per-run
+    distmv draw (examples/robot/main.go:29-31).
+
     Reference: NewMonteCarloRuns montecarlo.go:92-119.  Note the
     reference *ignores* a single provided control vector and substitutes
     zeros (montecarlo.go:98-107); here pass controls=[T, m] to actually
     use controls, or None.
     """
     keys = jax.random.split(key, samples)
+    chol_p0 = jnp.linalg.cholesky(state0.p) if init_spread else None
 
     def one_run(k):
+        st = state0
+        if init_spread:
+            k0, k = jax.random.split(k)
+            z = jax.random.normal(k0, state0.x.shape, dtype=state0.x.dtype)
+            st = state0._replace(x=state0.x + chol_p0 @ z)
         _, ests = vanilla.run(
             model,
-            state0,
+            st,
             controls=controls,
             key=k,
             steps=steps,

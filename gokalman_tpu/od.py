@@ -158,6 +158,13 @@ def run_hybrid_od(
             # ~0 so this reduces to the raw observation deviation).
             innov_g = (real_obs - comp_obs) - htilde @ (stm @ hstate_pre.x)
             p_bar_g = stm @ hstate_pre.p @ stm.T
+            if g is not None:
+                # Match the filter's own P̄ (hybrid._p_bar): on SNC-armed
+                # steps the gate's innovation covariance must include
+                # ΓQΓ^T or measurements are over-rejected.
+                g_armed = g if snc is None else jnp.where(
+                    snc, g, jnp.zeros_like(g))
+                p_bar_g = p_bar_g + g_armed @ model.noise.q @ g_armed.T
             s_g = htilde @ p_bar_g @ htilde.T + model.noise.r
             nis_g = innov_g @ linalg.solve_psd(s_g, innov_g)
             accept = nis_g <= nis_gate

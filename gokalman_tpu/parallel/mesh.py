@@ -44,6 +44,25 @@ def ensemble_sharding(mesh: Mesh, batch_axis: int = -1, ndim: int = 2) -> NamedS
     return NamedSharding(mesh, P(*spec))
 
 
+def pool_ensemble_stats(mean_local, std_local, shard_samples: int, axis_name: str):
+    """Pool per-shard ensemble (mean, stddev[ddof=1]) into the global
+    (mean, stddev[ddof=1]) over a named mesh axis.
+
+    The pooled variance is recovered from each shard's second moment
+    ((m-1)·s² + m·x̄²); taking pmean of per-shard stddevs instead would
+    systematically under-estimate the ensemble spread (Jensen: sqrt is
+    concave), so multi-chip results would not match a single-chip run
+    on the same total ensemble.
+    """
+    ndev = jax.lax.psum(1, axis_name)
+    m = shard_samples
+    mean = jax.lax.pmean(mean_local, axis_name)
+    ssq = jax.lax.psum((m - 1) * std_local**2 + m * mean_local**2, axis_name)
+    total = m * ndev
+    var = (ssq - total * mean**2) / (total - 1)
+    return mean, jnp.sqrt(jnp.maximum(var, 0.0))
+
+
 def sharded_mc_chi_square_pallas(
     model,
     state0,
@@ -59,6 +78,7 @@ def sharded_mc_chi_square_pallas(
     per-step statistics are combined with `pmean` over ICI — the
     native-tier analogue of sharded_mc_chi_square.
     """
+    from ..ops.ensemble import ChiSquareResult
     from ..ops.pallas_mc import mc_chi_square_pallas
 
     mesh = ensemble_mesh() if mesh is None else mesh
@@ -69,7 +89,18 @@ def sharded_mc_chi_square_pallas(
             model, state0, samples_per_device, steps, seed_arr[0],
             init_spread=init_spread, tile=min(tile, samples_per_device),
         )
-        return jax.tree.map(lambda x: jax.lax.pmean(x, ENSEMBLE_AXIS), out)
+        # Per-run means pool as a plain pmean (equal shard sizes); the
+        # ensemble stddev must be pooled through its second moments —
+        # pmean of per-shard stddevs is biased low (sqrt is concave).
+        mean, stddev = pool_ensemble_stats(
+            out.mean, out.stddev, samples_per_device, ENSEMBLE_AXIS
+        )
+        return ChiSquareResult(
+            nis_means=jax.lax.pmean(out.nis_means, ENSEMBLE_AXIS),
+            nees_means=jax.lax.pmean(out.nees_means, ENSEMBLE_AXIS),
+            mean=mean,
+            stddev=stddev,
+        )
 
     seeds = (seed + jnp.arange(ndev, dtype=jnp.int32)).reshape(ndev, 1)
     fn = jax.shard_map(

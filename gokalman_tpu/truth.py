@@ -30,6 +30,10 @@ def error(
     k < 0 returns zero state/measurement with the estimate's covariance,
     mirroring the reference's shifted-feed convention.
     """
+    try:  # normalize Python/NumPy integer indices; tracers raise
+        k = int(k)
+    except (TypeError, jax.errors.TracerIntegerConversionError):
+        pass
     state = est.state
     if offset is not None:
         state = state + offset
@@ -38,9 +42,14 @@ def error(
     meas = est.measurement
     if truth.measurements is not None:
         meas = meas - truth.measurements[k]
-    if isinstance(k, int) and k < 0:
-        state = jnp.zeros_like(state)
-        meas = jnp.zeros_like(meas)
+    if isinstance(k, int):
+        if k < 0:
+            state = jnp.zeros_like(state)
+            meas = jnp.zeros_like(meas)
+    else:  # traced k: select zeros without data-dependent control flow
+        neg = k < 0
+        state = jnp.where(neg, jnp.zeros_like(state), state)
+        meas = jnp.where(neg, jnp.zeros_like(meas), meas)
     return est._replace(state=state, measurement=meas)
 
 

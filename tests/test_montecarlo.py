@@ -79,3 +79,21 @@ def test_chi_square_requires_a_test():
     runs = monte_carlo(model, state0, samples=4, steps=5, key=jax.random.PRNGKey(3))
     with pytest.raises(ValueError):
         chisquare.chi_square(model, state0, runs, with_nees=False, with_nis=False)
+
+
+def test_init_spread_matches_p0():
+    """init_spread=True draws x0 ~ N(x̄0, P0) per run (robot/main.go:29-31):
+    the ensemble spread of the first estimate must be sqrt of the
+    diagonal of F P0 F^T + Q."""
+    f, g, h, q, r, x0, p0 = _robot_system()
+    p0 = jnp.diag(jnp.array([4.0, 0.25]))
+    model, state0 = vanilla.new(x0, p0, f, g, h, gn.awgn(q, r))
+    runs = monte_carlo(model, state0, samples=4000, steps=3,
+                       key=jax.random.PRNGKey(9), init_spread=True)
+    spread0 = np.asarray(runs.stddev(step=0))
+    expected = np.sqrt(np.diag(np.asarray(f @ p0 @ f.T + q)))
+    np.testing.assert_allclose(spread0, expected, rtol=0.08)
+    # Without the flag every run starts at exactly state0.x.
+    runs_ns = monte_carlo(model, state0, samples=64, steps=3,
+                          key=jax.random.PRNGKey(9))
+    assert float(runs_ns.stddev(step=0).max()) < np.sqrt(q.max()) * 4

@@ -30,3 +30,29 @@ def test_sharded_kernel_mechanics_on_cpu_mesh():
     assert out.mean.shape == (4, n)
     assert bool(jnp.all(jnp.isfinite(out.nees_means)))
     assert bool(jnp.all(jnp.isfinite(out.stddev)))
+
+
+def test_pool_ensemble_stats_matches_global_stddev():
+    """pool_ensemble_stats must reproduce the single-chip ddof=1 stddev
+    of the concatenated ensemble (pmean of per-shard stddevs is biased
+    low and would make multi-chip results disagree with one chip)."""
+    import numpy as np
+    from jax.sharding import PartitionSpec as P
+
+    rng = np.random.default_rng(5)
+    ndev, m, t = 8, 64, 5
+    data = rng.standard_normal((ndev * m, t)) * rng.uniform(0.5, 3.0, t)
+    mesh = pmesh.ensemble_mesh()
+
+    def local(x):  # x: [m, t] shard
+        mean_l = jnp.mean(x, axis=0)
+        std_l = jnp.std(x, axis=0, ddof=1)
+        return pmesh.pool_ensemble_stats(mean_l, std_l, m, pmesh.ENSEMBLE_AXIS)
+
+    mean, std = jax.jit(jax.shard_map(
+        local, mesh=mesh, in_specs=P(pmesh.ENSEMBLE_AXIS), out_specs=P(),
+        check_vma=False,
+    ))(jnp.asarray(data))
+    np.testing.assert_allclose(np.asarray(mean), data.mean(axis=0), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(std), data.std(axis=0, ddof=1),
+                               atol=1e-12)

@@ -34,9 +34,11 @@ def main(outdir="."):
     controls = jnp.cos(0.75 * jnp.arange(1, steps + 1) * dt)[:, None]
 
     model, state0 = gk.vanilla.new(x0, p0, f, g, h, gk.noise.awgn(q, r))
+    # init_spread: each run's x0 ~ N(x0, P0), the reference's per-run
+    # distmv draw (examples/robot/main.go:29-31).
     runs = gk.montecarlo.monte_carlo(
         model, state0, samples=sims, steps=steps,
-        key=jax.random.PRNGKey(0), controls=controls,
+        key=jax.random.PRNGKey(0), controls=controls, init_spread=True,
     )
     headers = ["xi", "xi_dot"]
     for name, blob in zip(headers, runs.as_csv(headers)):

@@ -128,6 +128,114 @@ def _covariance_path(model: vanilla.Model, p0, steps: int):
     return k_gain, s_inv, p_plus_inv
 
 
+def _masked_schedule(model: vanilla.Model, hs, rs, meas_masks):
+    """Normalize a per-step (hs, rs, meas_masks) measurement schedule
+    into masked ([T,p,n] hs, [T,p,p] rs, [T,p,p] chol(rs)) arrays.
+
+    Masked rows get a zero H row and a unit R diagonal (see
+    vanilla.mask_measurement), so the downstream algebra needs no mask
+    concept at all — the static-shape form of the reference's
+    mid-stream SetMeasurementMatrix/SetNoise (jerkcar/main.go:141-158).
+    """
+    t = jnp.shape(hs if hs is not None else rs)[0]
+    hs = jnp.broadcast_to(model.h, (t,) + model.h.shape) if hs is None else jnp.asarray(hs)
+    r = model.noise.r
+    rs = jnp.broadcast_to(r, (t,) + r.shape) if rs is None else jnp.asarray(rs)
+    if meas_masks is not None:
+        hs, rs, _ = jax.vmap(
+            lambda h, rr, m: vanilla.mask_measurement(h, rr, None, m)
+        )(hs, rs, meas_masks)
+    lrs = jnp.linalg.cholesky(rs)
+    if meas_masks is not None:
+        # Masked rows carry a unit R diagonal only to keep S invertible;
+        # they must not inject measurement noise — zero their chol rows
+        # so generated measurements are exactly 0 there (innovation 0,
+        # zero gain column => the padded update equals the unpadded one).
+        lrs = lrs * meas_masks[..., None].astype(lrs.dtype)
+    return hs, rs, lrs
+
+
+@linalg.highp
+def _covariance_path_tv(model: vanilla.Model, p0, hs, rs):
+    """Time-varying covariance path: per-step (K, S^{-1}, (P^+)^{-1})
+    for an already-masked (hs, rs) measurement schedule.
+
+    Still run-independent — one [n,n] scan shared by the whole ensemble
+    (the TV analogue of _covariance_path_sequential).
+    """
+    f, q = model.f, model.noise.q
+
+    def body(p, xs):
+        h, r = xs
+        p_pred = linalg.sym(f @ p @ f.T + q)
+        pht = p_pred @ h.T
+        s = h @ pht + r
+        s_inv = linalg.inv_psd(s)
+        k_gain = pht @ s_inv
+        p_plus = vanilla.joseph_update(p_pred, k_gain, h, r)
+        return p_plus, (k_gain, s_inv, linalg.inv_psd(p_plus))
+
+    _, path = jax.lax.scan(body, p0, (hs, rs))
+    return path
+
+
+@linalg.highp
+def filter_bank(
+    model: vanilla.Model,
+    state0: vanilla.State,
+    measurements: jax.Array,
+    controls: Optional[jax.Array] = None,
+    hs=None,
+    rs=None,
+    meas_masks=None,
+    ensemble_sharding=None,
+):
+    """Fused bank of S independent CKFs sharing one (possibly
+    time-varying) model — jerkcar-class workloads at ensemble speed.
+
+    The reference runs side-by-side filters as separate mutable structs
+    in a Go loop (examples/jerkcar/main.go:133-161); here S parallel
+    measurement streams [T, p, S] (lanes-major) share ONE covariance
+    path ([n,n] scan, computed once) and the per-stream work is a
+    broadcast matvec recurrence.  Stream-wise identical to
+    vanilla.run(...) with the same padded (hs, rs, meas_masks) schedule
+    (tests/test_filter_bank.py pins 1e-9 agreement in f64).
+
+    measurements: [T, p, S]; controls: [T, m] (shared) or None.
+    Returns (states [T, n, S], innovations [T, p, S],
+    (k_path, s_inv_path, p_inv_path) each [T, ...]).
+    """
+    f, g = model.f, model.g
+    if hs is None and rs is None:
+        t = measurements.shape[0]
+        rs = jnp.broadcast_to(model.noise.r, (t,) + model.noise.r.shape)
+    hs, rs, _ = _masked_schedule(model, hs, rs, meas_masks)
+    if meas_masks is not None:
+        measurements = measurements * meas_masks[..., None].astype(
+            measurements.dtype)
+
+    path = _covariance_path_tv(model, state0.p, hs, rs)
+    k_path, s_inv_path, p_inv_path = path
+
+    x0 = jnp.tile(state0.x[:, None], (1, measurements.shape[-1]))
+    if ensemble_sharding is not None:
+        x0 = jax.lax.with_sharding_constraint(x0, ensemble_sharding)
+
+    def body(x, xs):
+        y, u, h_k, k_gain = xs
+        x_pred = f @ x
+        if g is not None and u is not None:
+            x_pred = x_pred + (g @ u)[:, None]
+        innov = y - h_k @ x_pred  # [p, S]
+        x = x_pred + k_gain @ innov
+        return x, (x, innov)
+
+    _, (states, innovs) = jax.lax.scan(
+        body, x0, (measurements, controls, hs, k_path)
+    )
+    return states, innovs, path
+
+
 @linalg.highp
 def mc_chi_square(
     model: vanilla.Model,
@@ -139,6 +247,9 @@ def mc_chi_square(
     ensemble_sharding=None,
     init_spread: bool = False,
     lagged_measurements: bool = True,
+    hs=None,
+    rs=None,
+    meas_masks=None,
 ) -> ChiSquareResult:
     """Fused Monte-Carlo truth generation + chi-square replay.
 
@@ -160,6 +271,11 @@ def mc_chi_square(
     one-step lag that inflates NEES above the state dimension.  Set
     False for the physically consistent test (y_k = H·x_t(k)+v), which
     calibrates NEES to exactly n.
+
+    `hs`/`rs`/`meas_masks` give a per-step padded measurement schedule
+    (jerkcar-class time-varying workloads, see vanilla.run): truth
+    measurements are generated through H_k with chol(R_k) noise and the
+    covariance path follows the schedule.
     """
     n = state0.x.shape[0]
     p = model.h.shape[0]
@@ -167,7 +283,15 @@ def mc_chi_square(
     f, h = model.f, model.h
     lq, lr = model.noise.sqrt_q, model.noise.sqrt_r
 
-    k_path, s_inv_path, p_inv_path = _covariance_path(model, state0.p, steps)
+    time_varying = hs is not None or rs is not None or meas_masks is not None
+    if time_varying:
+        hs_m, rs_m, lrs = _masked_schedule(model, hs, rs, meas_masks)
+        k_path, s_inv_path, p_inv_path = _covariance_path_tv(
+            model, state0.p, hs_m, rs_m
+        )
+    else:
+        hs_m = lrs = None
+        k_path, s_inv_path, p_inv_path = _covariance_path(model, state0.p, steps)
 
     key, k_init = jax.random.split(key)
     x_truth = jnp.tile(state0.x[:, None], (1, samples))
@@ -183,23 +307,25 @@ def mc_chi_square(
 
     def step_fn(carry, xs):
         x_t, x_e = carry
-        k_gain, s_inv, p_inv, u, kk = xs
+        k_gain, s_inv, p_inv, u, kk, h_k, lr_k = xs
+        h_t = h if h_k is None else h_k
+        lr_t = lr if lr_k is None else lr_k
         kw, kv = jax.random.split(kk)
 
         # --- truth (pure predictor, vanilla.go:138-146, 170-179) ---
-        v = lr @ jax.random.normal(kv, (p, samples), dtype)
+        v = lr_t @ jax.random.normal(kv, (p, samples), dtype)
         w = lq @ jax.random.normal(kw, (n, samples), dtype)
         gu = 0.0 if (model.g is None or u is None) else (model.g @ u)[:, None]
         if lagged_measurements:
-            y = h @ x_t + v  # pre-predict state (reference semantics)
+            y = h_t @ x_t + v  # pre-predict state (reference semantics)
             x_t = f @ x_t + gu + w
         else:
             x_t = f @ x_t + gu + w
-            y = h @ x_t + v  # post-predict state (consistent test)
+            y = h_t @ x_t + v  # post-predict state (consistent test)
 
         # --- replay filter (noiseless draws, chisquare.go:41) ---
         x_pred = f @ x_e + gu
-        innov = y - h @ x_pred  # [p, S]
+        innov = y - h_t @ x_pred  # [p, S]
         x_e = x_pred + k_gain @ innov
 
         # --- consistency statistics (chisquare.go:46-77) ---
@@ -214,7 +340,8 @@ def mc_chi_square(
         return (x_t, x_e), (jnp.mean(nis), jnp.mean(nees), mean, jnp.sqrt(var))
 
     (x_t, x_e), (nis, nees, means, devs) = jax.lax.scan(
-        step_fn, (x_truth, x_est), (k_path, s_inv_path, p_inv_path, controls, keys)
+        step_fn, (x_truth, x_est),
+        (k_path, s_inv_path, p_inv_path, controls, keys, hs_m, lrs),
     )
     return ChiSquareResult(nis, nees, means, devs)
 

@@ -34,7 +34,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..filters import vanilla
-from .ensemble import ChiSquareResult, _covariance_path
+from .ensemble import (
+    ChiSquareResult,
+    _covariance_path,
+    _covariance_path_tv,
+    _masked_schedule,
+)
 
 TILE = 8192  # default ensemble members per grid program
 
@@ -71,15 +76,34 @@ def _normal_batch(shape, count: int):
 
 
 @functools.lru_cache(maxsize=16)
-def _build(n: int, p: int, tile: int):
-    """Build the fused kernel + host wrapper for a given shape triple."""
+def _build(n: int, p: int, tile: int, tv: bool = False, ctrl: bool = False):
+    """Build the fused kernel + host wrapper for a given shape triple.
+
+    tv=True streams the per-step measurement model (H_k, chol R_k)
+    through the SMEM path rows alongside the gains — the kernel-speed
+    form of the jerkcar-class padded schedule (the gains already vary
+    per step, so time-varying H/R costs only the extra scalar reads).
+    ctrl=True adds a per-step G·u_k vector to both the truth and replay
+    predictions (main.go:149's control argument).
+    """
     if tile % 1024:
         raise ValueError("tile must be a multiple of 1024")
-    # SMEM path packing per step: K [n,p], Pinv [n,n], Sinv [p,p].
+    # SMEM path packing per step: K [n,p], Pinv [n,n], Sinv [p,p],
+    # then (tv) H [p,n] + cholR [p,p], then (ctrl) G·u [n].
     k_off = 0
     pi_off = n * p
     si_off = pi_off + n * n
-    row_len = ((si_off + p * p + 7) // 8) * 8
+    end = si_off + p * p
+    h_row_off = lr_row_off = gu_off = 0
+    if tv:
+        h_row_off = end
+        end += p * n
+        lr_row_off = end
+        end += p * p
+    if ctrl:
+        gu_off = end
+        end += n
+    row_len = ((end + 7) // 8) * 8
     # Fixed scalars: F, Lq, H, Lr, x0, L0 (init-spread chol).
     f_off = 0
     lq_off = f_off + n * n
@@ -132,11 +156,21 @@ def _build(n: int, p: int, tile: int):
             wv = _normal_batch(cshape, n + p)
             w, v = wv[:n], wv[n:]
 
+            # Time-varying mode reads the step's H / chol(R) from the
+            # SMEM path row; otherwise the fixed model matrices apply.
+            if tv:
+                hm = [[path_ref[row + h_row_off + i * n + j]
+                       for j in range(n)] for i in range(p)]
+                lrm = [[path_ref[row + lr_row_off + i * p + j]
+                        for j in range(p)] for i in range(p)]
+            else:
+                hm, lrm = hmat, lrmat
+
             xt = [comp(xt_ref, i) for i in range(n)]
             xe = [comp(xe_ref, i) for i in range(n)]
 
-            # Truth: x_t' = F x_t + Lq w (consistent-measurement mode:
-            # y is generated from the post-predict truth).
+            # Truth: x_t' = F x_t (+ G u) + Lq w (consistent-measurement
+            # mode: y is generated from the post-predict truth).
             xt_new = [None] * n
             xp = [None] * n
             for i in range(n):
@@ -145,6 +179,10 @@ def _build(n: int, p: int, tile: int):
                 for j in range(n):
                     acc += fmat[i][j] * xt[j] + lqmat[i][j] * w[j]
                     accp += fmat[i][j] * xe[j]  # replay predict F x_e
+                if ctrl:
+                    gu_i = path_ref[row + gu_off + i]
+                    acc += gu_i
+                    accp += gu_i
                 xt_new[i] = acc
                 xp[i] = accp
 
@@ -153,9 +191,9 @@ def _build(n: int, p: int, tile: int):
             for i in range(p):
                 acc = jnp.zeros(cshape, jnp.float32)
                 for j in range(n):
-                    acc += hmat[i][j] * (xt_new[j] - xp[j])
+                    acc += hm[i][j] * (xt_new[j] - xp[j])
                 for j in range(p):
-                    acc += lrmat[i][j] * v[j]
+                    acc += lrm[i][j] * v[j]
                 innov[i] = acc
 
             # Update: x_e' = x_e^- + K innov; err = x_t' - x_e'.
@@ -189,18 +227,20 @@ def _build(n: int, p: int, tile: int):
 
         jax.lax.fori_loop(0, steps, body, ())
 
-    def _pack_path(k_path, p_inv_path, s_inv_path):
+    def _pack_path(k_path, p_inv_path, s_inv_path, hs=None, lrs=None, gus=None):
         t = k_path.shape[0]
-        flat = jnp.concatenate(
-            [
-                k_path.reshape(t, n * p),
-                p_inv_path.reshape(t, n * n),
-                s_inv_path.reshape(t, p * p),
-                jnp.zeros((t, row_len - si_off - p * p), k_path.dtype),
-            ],
-            axis=1,
-        )
-        return flat.reshape(-1).astype(jnp.float32)
+        cols = [
+            k_path.reshape(t, n * p),
+            p_inv_path.reshape(t, n * n),
+            s_inv_path.reshape(t, p * p),
+        ]
+        if tv:
+            cols += [hs.reshape(t, p * n), lrs.reshape(t, p * p)]
+        if ctrl:
+            cols.append(gus.reshape(t, n))
+        used = sum(c.shape[1] for c in cols)
+        cols.append(jnp.zeros((t, row_len - used), k_path.dtype))
+        return jnp.concatenate(cols, axis=1).reshape(-1).astype(jnp.float32)
 
     def _pack_fixed(f, lq, h, lr, x0, spread_l):
         flat = jnp.concatenate(
@@ -209,13 +249,26 @@ def _build(n: int, p: int, tile: int):
         return jnp.pad(flat, (0, fixed_len - flat.shape[0])).astype(jnp.float32)
 
     @functools.partial(jax.jit, static_argnames=("samples", "steps", "init_spread"))
-    def run(model, state0, samples, steps, seed, init_spread=True):
+    def run(model, state0, samples, steps, seed, init_spread=True,
+            controls=None, hs=None, rs=None, meas_masks=None):
         if samples % tile:
             raise ValueError(f"samples must be a multiple of {tile}")
         grid = samples // tile
 
-        k_path, s_inv_path, p_inv_path = _covariance_path(model, state0.p, steps)
-        path = _pack_path(k_path, p_inv_path, s_inv_path)
+        if tv:
+            hs_m, rs_m, lrs = _masked_schedule(model, hs, rs, meas_masks)
+            k_path, s_inv_path, p_inv_path = _covariance_path_tv(
+                model, state0.p, hs_m, rs_m
+            )
+        else:
+            hs_m = lrs = None
+            k_path, s_inv_path, p_inv_path = _covariance_path(
+                model, state0.p, steps
+            )
+        gus = None
+        if ctrl:
+            gus = controls @ model.g.T  # [T, m] @ [m, n] -> [T, n]
+        path = _pack_path(k_path, p_inv_path, s_inv_path, hs_m, lrs, gus)
         spread_l = (
             jnp.linalg.cholesky(state0.p) if init_spread
             else jnp.zeros_like(state0.p)
@@ -276,13 +329,23 @@ def mc_chi_square_pallas(
     seed,
     init_spread: bool = True,
     tile: int = TILE,
+    controls=None,
+    hs=None,
+    rs=None,
+    meas_masks=None,
 ) -> ChiSquareResult:
     """Fused-kernel equivalent of ops.ensemble.mc_chi_square
-    (lagged_measurements=False semantics) for any (n, p) time-invariant
-    model.  `seed` is an int32 scalar; each ensemble tile derives its
-    own hardware PRNG stream.  Kernels are built and cached per
-    (n, p, tile)."""
+    (lagged_measurements=False semantics) for any (n, p) model,
+    including jerkcar-class time-varying padded (hs, rs, meas_masks)
+    schedules and a shared control stream — both are streamed through
+    the kernel's per-step SMEM path rows.  `seed` is an int32 scalar;
+    each ensemble tile derives its own hardware PRNG stream.  Kernels
+    are built and cached per (n, p, tile, tv, ctrl)."""
     n = model.f.shape[0]
     p = model.h.shape[0]
-    run = _build(n, p, min(tile, samples))
-    return run(model, state0, samples, steps, seed, init_spread)
+    tv = hs is not None or rs is not None or meas_masks is not None
+    ctrl = controls is not None and model.g is not None
+    run = _build(n, p, min(tile, samples), tv, ctrl)
+    return run(model, state0, samples, steps, seed, init_spread,
+               controls=controls if ctrl else None,
+               hs=hs, rs=rs, meas_masks=meas_masks)

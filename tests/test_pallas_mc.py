@@ -103,3 +103,68 @@ def test_kernel_generalizes_to_other_shapes():
         assert out.nees_means.shape == (5,)
         assert out.mean.shape == (5, n)
         assert bool(jnp.all(jnp.isfinite(out.nees_means)))
+
+
+def test_kernel_tv_controls_matches_numpy_replica():
+    """TV + controls mechanics in interpreter mode.  The stubbed PRNG
+    makes every Box-Muller pair the constant (sqrt(50 ln 2), 0), so the
+    whole kernel is deterministic; replicate it in numpy — including
+    the per-step SMEM reads of (K_k, H_k, chol R_k, G u_k) — and demand
+    agreement of the mean/NEES/NIS traces for a jerkcar-style padded
+    schedule."""
+    from gokalman_tpu.ops.ensemble import _covariance_path_tv, _masked_schedule
+    from gokalman_tpu.workloads import jerkcar as jc
+
+    t, n, p = 6, 4, 2
+    model, st = vanilla.new(
+        jnp.asarray(jc.X0, jnp.float32), jnp.asarray(jc.P0, jnp.float32),
+        jnp.asarray(jc.F, jnp.float32), jnp.asarray(jc.G, jnp.float32),
+        jnp.asarray(jc.H1, jnp.float32),
+        gn.awgn(jnp.asarray(jc.Q, jnp.float32), jnp.asarray(jc.R, jnp.float32)),
+    )
+    rng = np.random.default_rng(2)
+    yacc = rng.standard_normal(t)
+    ypos = rng.standard_normal(t)
+    uvec = rng.standard_normal(t + 1)
+    _, us, hs, rs, masks = jc.schedule(yacc, ypos, uvec)
+    us = jnp.asarray(us, jnp.float32)
+    hs = jnp.asarray(hs, jnp.float32)
+    rs = jnp.asarray(rs, jnp.float32)
+    masks = jnp.asarray(masks)
+
+    with pltpu.force_tpu_interpret_mode():
+        out = pallas_mc.mc_chi_square_pallas(
+            model, st, 1024, t, jnp.int32(0), init_spread=False, tile=1024,
+            controls=us, hs=hs, rs=rs, meas_masks=masks,
+        )
+
+    # --- numpy replica ---
+    hs_m, rs_m, lrs = _masked_schedule(model, hs, rs, masks)
+    ks, s_inv, p_inv = _covariance_path_tv(model, st.p, hs_m, rs_m)
+    ks, s_inv, p_inv, hs_m, lrs = (np.asarray(a, np.float64)
+                                   for a in (ks, s_inv, p_inv, hs_m, lrs))
+    f = np.asarray(jc.F)
+    g = np.asarray(jc.G)
+    lq = np.asarray(model.noise.sqrt_q, np.float64)
+    c = np.sqrt(-2.0 * np.log(2.0**-25))  # stubbed Box-Muller cos branch
+    wv = np.array([c if i % 2 == 0 else 0.0 for i in range(n + p)])
+    w, v = wv[:n], wv[n:]
+    x_t = np.asarray(jc.X0, np.float64)
+    x_e = x_t.copy()
+    exp_mean, exp_nees, exp_nis = [], [], []
+    for k in range(t):
+        gu = g[:, 0] * float(us[k, 0])
+        x_t = f @ x_t + gu + lq @ w
+        x_p = f @ x_e + gu
+        innov = hs_m[k] @ (x_t - x_p) + lrs[k] @ v
+        x_e = x_p + ks[k] @ innov
+        err = x_t - x_e
+        exp_mean.append(x_t.copy())
+        exp_nees.append(err @ p_inv[k] @ err)
+        exp_nis.append(innov @ s_inv[k] @ innov)
+    np.testing.assert_allclose(np.asarray(out.mean), exp_mean,
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.nees_means), exp_nees,
+                               rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.nis_means), exp_nis,
+                               rtol=1e-3, atol=1e-5)

@@ -52,9 +52,12 @@ def eci_state(station: Station, theta_gst) -> tuple[jax.Array, jax.Array]:
     """Station ECI position and velocity at Earth rotation angle θ_gst."""
     r_ecef = station.ecef_position
     ct, st = jnp.cos(theta_gst), jnp.sin(theta_gst)
-    rot = jnp.array([[ct, -st, 0.0], [st, ct, 0.0], [0.0, 0.0, 1.0]])
+    dtype = r_ecef.dtype  # keep f32 workloads f32 (no weak-f64 upcast)
+    zero = jnp.zeros((), dtype)
+    one = jnp.ones((), dtype)
+    rot = jnp.array([[ct, -st, zero], [st, ct, zero], [zero, zero, one]])
     r_eci = rot @ r_ecef
-    omega = jnp.array([0.0, 0.0, c.EARTH_ROTATION_RATE])
+    omega = jnp.array([zero, zero, jnp.asarray(c.EARTH_ROTATION_RATE, dtype)])
     v_eci = jnp.cross(omega, r_eci)
     return r_eci, v_eci
 

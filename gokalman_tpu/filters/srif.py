@@ -50,7 +50,7 @@ class Estimate(NamedTuple):
     @property
     def state(self) -> jax.Array:
         """x = R^{-1} b (srif.go:223-234)."""
-        return jnp.linalg.solve(self.r, self.sqinfo_state[..., None])[..., 0]
+        return linalg.solve_qr(self.r, self.sqinfo_state)
 
     @property
     def innovation(self) -> jax.Array:
@@ -60,12 +60,12 @@ class Estimate(NamedTuple):
     @property
     def covariance(self) -> jax.Array:
         """P = R^{-1} R^{-T} (srif.go:252-265)."""
-        rinv = jnp.linalg.inv(self.r)
+        rinv = linalg.inv_qr(self.r)
         return rinv @ jnp.swapaxes(rinv, -1, -2)
 
     @property
     def pred_covariance(self) -> jax.Array:
-        rinv = jnp.linalg.inv(self.pred_r)
+        rinv = linalg.inv_qr(self.pred_r)
         return rinv @ jnp.swapaxes(rinv, -1, -2)
 
     def within_nsigma(self, n_sigma) -> jax.Array:
@@ -87,7 +87,9 @@ def new(x0, p0, meas_size: int, non_tri_r: bool, noise: Noise):
     r0 = jnp.linalg.cholesky(i0).T  # upper; diagonal here, same as reference
     b0 = r0 @ x0
     sqrt_meas = jnp.linalg.cholesky(noise.r)
-    sqrt_inv = jnp.linalg.inv(sqrt_meas)
+    sqrt_inv = linalg.solve_tri_lower(
+        sqrt_meas, jnp.eye(sqrt_meas.shape[-1], dtype=sqrt_meas.dtype)
+    )
     model = Model(sqrt_inv, meas_size, non_tri_r)
     p = meas_size
     est0 = Estimate(
@@ -124,9 +126,9 @@ def measurement_update(r, h, b, y):
 def _time_update(model: Model, state: State, phi):
     """R̄ = R Φ^{-1}, b̄ = R̄ Φ x̂ (srif.go:111-119), with optional
     re-triangularization of [R̄ | b̄] (srif.go:121-132)."""
-    phi_inv = jnp.linalg.inv(phi)
+    phi_inv = linalg.inv_qr(phi)  # QR: TPU x64 has no LU
     r_bar = state.r @ phi_inv
-    x_hat = jnp.linalg.solve(state.r, state.b)
+    x_hat = linalg.solve_qr(state.r, state.b)
     b_bar = r_bar @ (phi @ x_hat)
     if not model.non_tri_r:
         n = b_bar.shape[0]
@@ -209,7 +211,7 @@ def smooth_all(estimates: Estimate) -> Estimate:
 
     # Re-encode smoothed (x, P) as (R, b): R = chol(P^{-1})^T, b = R x.
     def encode(x, p):
-        info = jnp.linalg.inv(p)
+        info = linalg.inv_psd(p)
         r = jnp.linalg.cholesky(linalg.sym(info)).T
         return r, r @ x
 

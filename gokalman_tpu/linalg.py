@@ -189,6 +189,25 @@ def inv_psd(a: jax.Array) -> jax.Array:
     return solve_psd(a, jnp.eye(a.shape[-1], dtype=a.dtype))
 
 
+def solve_qr(a: jax.Array, b: jax.Array) -> jax.Array:
+    """General solve A x = b via QR instead of LU.
+
+    XLA:TPU has no float64 LuDecomposition (jnp.linalg.solve/inv fail
+    to compile for x64 OD workloads on chip), but QR, Cholesky and
+    TriangularSolve all lower fine — so the general small-matrix solves
+    on the device path go through QR."""
+    q, r = jnp.linalg.qr(a)
+    vector_rhs = b.ndim == a.ndim - 1  # batched-vector b, like jnp.linalg.solve
+    y = jnp.swapaxes(q, -1, -2) @ (b[..., None] if vector_rhs else b)
+    x = jax.scipy.linalg.solve_triangular(r, y, lower=False)
+    return x[..., 0] if vector_rhs else x
+
+
+def inv_qr(a: jax.Array) -> jax.Array:
+    eye = jnp.broadcast_to(jnp.eye(a.shape[-1], dtype=a.dtype), a.shape)
+    return solve_qr(a, eye)
+
+
 @functools.partial(jax.jit, static_argnames=("iterations",))
 @highp
 def solve_dare(f: jax.Array, h: jax.Array, q: jax.Array, r: jax.Array,

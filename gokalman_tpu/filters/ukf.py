@@ -105,9 +105,15 @@ def predict(model: Model, state: State, fx: Callable, control=None):
 
 @linalg.highp
 def step(model: Model, state: State, measurement, fx: Callable, hx: Callable,
-         control=None):
+         control=None, has=None):
     """One UKF update: unscented time update through fx, unscented
-    measurement update through hx, joint-statistics gain."""
+    measurement update through hx, joint-statistics gain.
+
+    `has` (traced bool) masks the measurement update: when False the
+    gain and innovation are zeroed, so the step reduces *exactly* to
+    the unscented time update (x_pred, p_pred) — the same masked-scan
+    convention as srif.step / hybrid.step, with no second computation
+    of the step (cf. the gated/IEKF double-compute pattern)."""
     x_pred, p_pred, prop, (wm, wc) = predict(model, state, fx, control)
 
     # Re-draw sigma points around the predicted density (standard
@@ -120,7 +126,12 @@ def step(model: Model, state: State, measurement, fx: Callable, hx: Callable,
     k_gain = linalg.solve_psd(s_cov, cross.T).T
 
     innovation = measurement - y_hat
+    if has is not None:
+        k_gain = jnp.where(has, k_gain, jnp.zeros_like(k_gain))
+        innovation = jnp.where(has, innovation, jnp.zeros_like(innovation))
+        y_hat = jnp.where(has, y_hat, jnp.zeros_like(y_hat))
     x = x_pred + k_gain @ innovation
+    # Zero gain => p == p_pred exactly (the pure-prediction step).
     p = linalg.sym(p_pred - k_gain @ s_cov @ k_gain.T)
     est = Estimate(
         state=x,
@@ -135,11 +146,13 @@ def step(model: Model, state: State, measurement, fx: Callable, hx: Callable,
 
 @linalg.highp
 def run(model: Model, state: State, measurements, fx: Callable, hx: Callable,
-        controls=None):
-    """lax.scan driver over the time axis."""
+        controls=None, meas_masks=None):
+    """lax.scan driver over the time axis.  `meas_masks` ([T] bool)
+    marks which steps carry a measurement (masked steps are pure
+    unscented predictions)."""
 
     def body(carry, xs):
-        meas, u = xs
-        return step(model, carry, meas, fx, hx, u)
+        meas, u, has = xs
+        return step(model, carry, meas, fx, hx, u, has)
 
-    return jax.lax.scan(body, state, (measurements, controls))
+    return jax.lax.scan(body, state, (measurements, controls, meas_masks))

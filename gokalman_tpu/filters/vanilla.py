@@ -207,18 +207,34 @@ def gated_step(model: Model, state: State, measurement, control=None,
     reference can only *observe* its injected outlier through IsWithinNσ
     warnings (vanilla_test.go:61-68); this actually protects the state.
     Returns (state, estimate, accepted: bool).
+
+    Single-compute form: one predict, one Cholesky of S shared by the
+    gain and the NIS whitening; rejection zeroes the gain, which makes
+    the update *exactly* the pure prediction (no second `step` call).
     """
-    st_upd, est_upd = step(model, state, measurement, control)
-    st_prd, est_prd = step(model, state, measurement, control, prediction_only=True)
-    s = model.h @ est_upd.pred_covariance @ model.h.T + model.noise.r
-    nis = est_upd.innovation @ linalg.solve_psd(s, est_upd.innovation)
+    x_pred, p_pred = predict(model, state, control)
+    y_hat = model.h @ state.x
+    pht = p_pred @ model.h.T
+    s = model.h @ pht + model.noise.r
+    chol_s = jnp.linalg.cholesky(s)
+    k_gain = jax.scipy.linalg.cho_solve((chol_s, True), pht.T).T
+    innovation = measurement - model.h @ x_pred
+    white = jax.scipy.linalg.solve_triangular(chol_s, innovation, lower=True)
+    nis = white @ white
     accept = nis <= nis_gate
-    pick = lambda a, b: jnp.where(accept, a, b)
-    return (
-        jax.tree.map(pick, st_upd, st_prd),
-        jax.tree.map(pick, est_upd, est_prd),
-        accept,
+
+    k_eff = jnp.where(accept, k_gain, jnp.zeros_like(k_gain))
+    x = x_pred + k_eff @ innovation
+    p = joseph_update(p_pred, k_eff, model.h, model.noise.r)
+    est = Estimate(
+        state=x,
+        measurement=y_hat,
+        innovation=jnp.where(accept, innovation, jnp.zeros_like(innovation)),
+        covariance=p,
+        pred_covariance=p_pred,
+        gain=k_eff,
     )
+    return State(x, p, state.k + 1), est, accept
 
 
 @linalg.highp

@@ -181,16 +181,21 @@ def run_hybrid_od(
             def obs_fn(dev):
                 return _computed_obs(stations_list, xr + dev, theta, idx, has)
 
-            # Re-run the update from the pre-step filter state
+            # lax.cond, not select: measurement steps are sparse on an
+            # OD arc (~5%), so the Gauss-Newton iterations only execute
+            # when a CKF measurement actually lands — no 2x per-step
+            # tax.  Re-runs the update from the pre-step filter state
             # (carry[1]; the EKF pre-fold is a no-op on CKF steps, the
-            # only ones the IEKF replaces below).
-            st_it, est_it = hybrid.iekf_update(
-                model, carry[1], stm, obs_fn, real_obs, iters=iekf_iters,
-            )
+            # only ones the IEKF replaces).
             use_it = has & ~ekf
-            pick = lambda a, b: jnp.where(use_it, a, b)
-            hstate = jax.tree.map(pick, st_it, hstate)
-            est = jax.tree.map(pick, est_it, est)
+            hstate, est = jax.lax.cond(
+                use_it,
+                lambda: hybrid.iekf_update(
+                    model, carry[1], stm, obs_fn, real_obs,
+                    iters=iekf_iters,
+                ),
+                lambda: (hstate, est),
+            )
         # EKF reference-trajectory reset (hybrid_test.go:358-366).
         shift = jnp.where(ekf & has, hstate.x, jnp.zeros_like(hstate.x))
         x_ref = x_ref + shift
@@ -297,18 +302,10 @@ def run_ukf_od(
             obs = jnp.stack([st.range_range_rate(s, x, theta) for s in stations_list])
             return obs[jnp.maximum(idx, 0)]
 
-        st_u, est_u = ukf.step(model, ustate, real_obs, fx, hx)
-        # Pure prediction when no measurement: unscented time update only.
-        x_pred, p_pred, _, _ = ukf.predict(model, ustate, fx)
-        st_p = ukf.State(x_pred, p_pred, ustate.k + 1)
-        zeros_p = jnp.zeros_like(real_obs)
-        est_p = ukf.Estimate(
-            x_pred, zeros_p, zeros_p, p_pred, p_pred,
-            jnp.zeros((x_pred.shape[0], real_obs.shape[0]), dtype),
-        )
-        pick = lambda a, b: jnp.where(has, a, b)
-        ustate = jax.tree.map(pick, st_u, st_p)
-        est = jax.tree.map(pick, est_u, est_p)
+        # Masked step (symmetric with srif.step / hybrid.step): on
+        # no-measurement steps the zeroed gain makes this exactly the
+        # unscented time update — one computation, no select-of-two.
+        ustate, est = ukf.step(model, ustate, real_obs, fx, hx, has=has)
         out = (est.state, est.state, est.covariance, est.innovation, est.state, est)
         return ustate, out
 

@@ -75,6 +75,38 @@ def _normal_batch(shape, count: int):
     return out[:count]
 
 
+def sample_normals_pallas(count: int, seed, lanes: int = 2048) -> jax.Array:
+    """Draw `count` standard normals with the kernel's own Box-Muller
+    generator (_normal_pair) on the TPU hardware PRNG.
+
+    Exists so the RNG statistics are testable in isolation — the fused
+    pipeline's NEES/NIS gates (bench.py) would mask a subtly broken
+    generator behind filter averaging; tests/test_pallas_mc.py checks
+    moments and tail quantiles of this output on hardware (the Mosaic
+    interpreter stubs prng_random_bits to zeros, so only compiled runs
+    are meaningful).
+    """
+    per_block = 8 * lanes  # one (8, lanes) f32 block per branch
+    blocks = (count + 2 * per_block - 1) // (2 * per_block)
+
+    def kernel(seed_ref, out_ref):
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        a, b = _normal_pair((8, lanes))
+        out_ref[0] = jnp.concatenate([a, b], axis=0)
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(blocks,),
+            in_specs=[],
+            out_specs=pl.BlockSpec((1, 16, lanes), lambda i, *_: (i, 0, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((blocks, 16, lanes), jnp.float32),
+    )(jnp.asarray(seed, jnp.int32).reshape(1))
+    return out.reshape(-1)[:count]
+
+
 @functools.lru_cache(maxsize=16)
 def _build(n: int, p: int, tile: int, tv: bool = False, ctrl: bool = False):
     """Build the fused kernel + host wrapper for a given shape triple.

@@ -168,3 +168,30 @@ def test_kernel_tv_controls_matches_numpy_replica():
                                rtol=1e-3, atol=1e-5)
     np.testing.assert_allclose(np.asarray(out.nis_means), exp_nis,
                                rtol=1e-3, atol=1e-5)
+
+
+def test_box_muller_statistics_on_tpu():
+    """Statistical unit test of the kernel's Box-Muller generator on
+    hardware, independent of the filter pipeline: moments and tail
+    quantiles over ~half a million draws."""
+    if jax.default_backend() in ("cpu",):
+        pytest.skip("hardware PRNG statistics need real TPU")
+    z = np.asarray(pallas_mc.sample_normals_pallas(524_288, jnp.int32(7)))
+    n = z.size
+    assert np.isfinite(z).all()
+    se = 1.0 / np.sqrt(n)  # standard error of the mean
+    assert abs(z.mean()) < 6 * se, z.mean()
+    assert abs(z.std() - 1.0) < 6 * se, z.std()
+    # Skewness ~ 0, excess kurtosis ~ 0 (SE ~ sqrt(6/n), sqrt(24/n)).
+    zc = z - z.mean()
+    skew = (zc**3).mean() / z.std() ** 3
+    kurt = (zc**4).mean() / z.std() ** 4 - 3.0
+    assert abs(skew) < 6 * np.sqrt(6 / n), skew
+    assert abs(kurt) < 6 * np.sqrt(24 / n), kurt
+    # Tail mass: P(|z|>1)=.3173, P(|z|>2)=.0455, P(|z|>3)=.0027.
+    for thresh, expect in ((1.0, 0.31731), (2.0, 0.04550), (3.0, 0.00270)):
+        frac = float((np.abs(z) > thresh).mean())
+        tol = 6 * np.sqrt(expect * (1 - expect) / n)
+        assert abs(frac - expect) < tol, (thresh, frac, expect)
+    # The 24-bit uniform floor must not produce duplicate spikes at 0.
+    assert float((z == 0.0).mean()) < 1e-4

@@ -118,3 +118,67 @@ def test_vmap_over_ensemble():
 
     out = jax.vmap(one)(jnp.stack([x0, x0 + 0.5]))
     assert out.shape == (2, 6, 3)
+
+
+def _range_bearing_system():
+    """Shared nonlinear fixture: 2-D CV target, range+bearing sensor."""
+    dt = 0.5
+    f = jnp.array(
+        [[1, 0, dt, 0], [0, 1, 0, dt], [0, 0, 1, 0], [0, 0, 0, 1.0]]
+    )
+    q = 1e-4 * jnp.eye(4)
+    r = jnp.diag(jnp.array([0.01, 1e-4]))
+
+    def fx(x):
+        return f @ x
+
+    def hx(x):
+        rng_ = jnp.sqrt(x[0] ** 2 + x[1] ** 2)
+        return jnp.stack([rng_, jnp.arctan2(x[1], x[0])])
+
+    x0 = jnp.array([10.0, 5.0, -0.5, 0.3])
+    p0 = jnp.diag(jnp.array([4.0, 4.0, 0.25, 0.25]))
+    return f, None, q, r, x0, p0, fx, hx
+
+
+def test_masked_step_equals_pure_prediction():
+    """ukf.step(has=False) must reduce exactly to the unscented time
+    update — the masked-scan convention shared with srif/hybrid."""
+    f, h, q, r, x0, p0, fx, hx = _range_bearing_system()
+    model, state = ukf.new(x0, p0, gn.noiseless(q, r))
+    meas = jnp.array([1.0, 0.5])
+    st_masked, est_masked = ukf.step(model, state, meas, fx, hx,
+                                     has=jnp.asarray(False))
+    x_pred, p_pred, _, _ = ukf.predict(model, state, fx)
+    np.testing.assert_allclose(np.asarray(st_masked.x), np.asarray(x_pred),
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(st_masked.p), np.asarray(p_pred),
+                               atol=1e-12)
+    assert float(jnp.abs(est_masked.innovation).max()) == 0.0
+    assert float(jnp.abs(est_masked.gain).max()) == 0.0
+    # has=True must equal the unmasked step.
+    st_open, est_open = ukf.step(model, state, meas, fx, hx,
+                                 has=jnp.asarray(True))
+    st_plain, est_plain = ukf.step(model, state, meas, fx, hx)
+    np.testing.assert_allclose(np.asarray(st_open.x), np.asarray(st_plain.x),
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(st_open.p), np.asarray(st_plain.p),
+                               atol=1e-12)
+
+
+def test_run_with_measurement_gaps():
+    """ukf.run(meas_masks=...) over a gap-ridden stream: covariance
+    grows through gaps and contracts on measurement steps."""
+    f, h, q, r, x0, p0, fx, hx = _range_bearing_system()
+    model, state = ukf.new(x0, p0, gn.noiseless(q, r))
+    t = 12
+    key = jax.random.PRNGKey(0)
+    meas = 0.1 * jax.random.normal(key, (t, 2)) + jnp.array([1.0, 0.5])
+    masks = jnp.asarray(np.arange(t) % 3 == 0)  # measurement every 3rd
+    final, ests = ukf.run(model, state, meas, fx, hx, meas_masks=masks)
+    assert bool(jnp.all(jnp.isfinite(ests.state)))
+    tr = np.trace(np.asarray(ests.covariance), axis1=1, axis2=2)
+    m = np.asarray(masks)
+    # Gap steps only add Q; measurement steps subtract K S K^T.
+    assert (np.diff(tr)[~m[1:]] > 0).all()
+    assert float(np.abs(np.asarray(ests.innovation)[~m]).max()) == 0.0

@@ -25,6 +25,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 ENSEMBLE_AXIS = "ensemble"
+SLICE_AXIS = "slice"
+CHIP_AXIS = "chip"
 
 
 def ensemble_mesh(devices=None) -> Mesh:
@@ -33,20 +35,46 @@ def ensemble_mesh(devices=None) -> Mesh:
     return Mesh(np.asarray(devices), (ENSEMBLE_AXIS,))
 
 
+def multislice_mesh(n_slices: int, chips_per_slice: int, devices=None) -> Mesh:
+    """2-D ('slice', 'chip') mesh for multi-slice pods.
+
+    The ensemble axis is sharded over BOTH mesh axes; per-step stat
+    reductions then decompose into an all-reduce over 'chip' (riding
+    ICI within each slice) followed by one over 'slice' (riding DCN) —
+    GSPMD/shard_map do this automatically for a tuple axis_name, and
+    the DCN leg moves only the [T]-sized partial statistics, never the
+    ensembles.  On single-slice hardware (or the CPU test mesh) the
+    decomposition is exercised with virtual devices.
+    """
+    devices = jax.devices() if devices is None else devices
+    if len(devices) < n_slices * chips_per_slice:
+        raise ValueError(
+            f"need {n_slices * chips_per_slice} devices, have {len(devices)}"
+        )
+    grid = np.asarray(devices[: n_slices * chips_per_slice]).reshape(
+        n_slices, chips_per_slice
+    )
+    return Mesh(grid, (SLICE_AXIS, CHIP_AXIS))
+
+
 def ensemble_sharding(mesh: Mesh, batch_axis: int = -1, ndim: int = 2) -> NamedSharding:
-    """NamedSharding placing the ensemble axis across the mesh.
+    """NamedSharding placing the ensemble axis across the whole mesh.
 
     Default matches the ops.ensemble lanes-major [n, S] layout
-    (S = last axis).
+    (S = last axis).  For a multi-slice mesh the single ensemble axis
+    is sharded over every mesh axis (('slice', 'chip')).
     """
     spec = [None] * ndim
-    spec[batch_axis] = ENSEMBLE_AXIS
+    names = mesh.axis_names
+    spec[batch_axis] = names[0] if len(names) == 1 else names
     return NamedSharding(mesh, P(*spec))
 
 
-def pool_ensemble_stats(mean_local, std_local, shard_samples: int, axis_name: str):
+def pool_ensemble_stats(mean_local, std_local, shard_samples: int, axis_name):
     """Pool per-shard ensemble (mean, stddev[ddof=1]) into the global
-    (mean, stddev[ddof=1]) over a named mesh axis.
+    (mean, stddev[ddof=1]) over a named mesh axis (or tuple of axes —
+    for a multi-slice mesh the reduction rides ICI within the slice,
+    then DCN across slices).
 
     The pooled variance is recovered from each shard's second moment
     ((m-1)·s² + m·x̄²); taking pmean of per-shard stddevs instead would
@@ -82,29 +110,32 @@ def sharded_mc_chi_square_pallas(
     from ..ops.pallas_mc import mc_chi_square_pallas
 
     mesh = ensemble_mesh() if mesh is None else mesh
-    ndev = mesh.devices.size
+    names = mesh.axis_names  # 1-D ('ensemble',) or 2-D ('slice','chip')
+    axes = names[0] if len(names) == 1 else names
 
     def local(seed_arr):
         out = mc_chi_square_pallas(
-            model, state0, samples_per_device, steps, seed_arr[0],
+            model, state0, samples_per_device, steps,
+            seed_arr.reshape(-1)[0],
             init_spread=init_spread, tile=min(tile, samples_per_device),
         )
         # Per-run means pool as a plain pmean (equal shard sizes); the
         # ensemble stddev must be pooled through its second moments —
         # pmean of per-shard stddevs is biased low (sqrt is concave).
         mean, stddev = pool_ensemble_stats(
-            out.mean, out.stddev, samples_per_device, ENSEMBLE_AXIS
+            out.mean, out.stddev, samples_per_device, axes
         )
         return ChiSquareResult(
-            nis_means=jax.lax.pmean(out.nis_means, ENSEMBLE_AXIS),
-            nees_means=jax.lax.pmean(out.nees_means, ENSEMBLE_AXIS),
+            nis_means=jax.lax.pmean(out.nis_means, axes),
+            nees_means=jax.lax.pmean(out.nees_means, axes),
             mean=mean,
             stddev=stddev,
         )
 
-    seeds = (seed + jnp.arange(ndev, dtype=jnp.int32)).reshape(ndev, 1)
+    shape = mesh.devices.shape
+    seeds = (seed + jnp.arange(mesh.devices.size, dtype=jnp.int32)).reshape(shape)
     fn = jax.shard_map(
-        local, mesh=mesh, in_specs=P(ENSEMBLE_AXIS), out_specs=P(),
+        local, mesh=mesh, in_specs=P(*names), out_specs=P(),
         check_vma=False,
     )
     return jax.jit(fn)(seeds)
@@ -119,6 +150,10 @@ def sharded_mc_chi_square(
     mesh: Optional[Mesh] = None,
     controls=None,
     init_spread: bool = False,
+    lagged_measurements: bool = True,
+    hs=None,
+    rs=None,
+    meas_masks=None,
 ):
     """mc_chi_square with the run axis sharded across `mesh`.
 
@@ -144,6 +179,10 @@ def sharded_mc_chi_square(
             controls=u,
             ensemble_sharding=sharding,
             init_spread=init_spread,
+            lagged_measurements=lagged_measurements,
+            hs=hs,
+            rs=rs,
+            meas_masks=meas_masks,
         )
     )
     return fn(key, controls)

@@ -256,3 +256,45 @@ def smooth_all(estimates: Estimate) -> Estimate:
         estimates.phi, estimates.state, estimates.covariance
     )
     return estimates._replace(state=xs_sm, covariance=ps_sm)
+
+
+@linalg.highp
+def smooth_all_rts(estimates: Estimate) -> Estimate:
+    """Optimal (RTS) fixed-interval smoother over a hybrid-CKF arc,
+    INCLUDING SNC-armed steps — the reference's SmoothAll panics 'not
+    yet implemented' when Γ was used (hybrid.go:233-235).
+
+    No process-noise bookkeeping is needed: the per-step recorded
+    predicted covariance P̄_{k+1} (pred_covariance) already contains
+    the Γ Q Γᵀ term exactly as the filter applied it (hybrid._p_bar),
+    so the smoother gain C_k = P_k Φ_{k+1}ᵀ P̄_{k+1}^{-1} is exact
+    whatever the SNC schedule was.  CKF arcs only: across an EKF
+    reference reset the deviation coordinates change meaning and
+    deviation-space smoothing is ill-defined.
+    """
+    phis = estimates.phi
+    xs = estimates.state
+    ps = estimates.covariance
+    p_preds = estimates.pred_covariance
+
+    t = xs.shape[0]
+    is_last = jnp.arange(t) == (t - 1)
+    # Align step k with (Φ_{k+1}, P̄_{k+1}).
+    phi_next = jnp.roll(phis, -1, axis=0)
+    ppred_next = jnp.roll(p_preds, -1, axis=0)
+
+    def body(carry, xs_):
+        x_next, p_next = carry
+        phi_n, ppred_n, x_k, p_k, last = xs_
+        c = linalg.solve_psd(ppred_n, phi_n @ p_k.T).T
+        x_sm = x_k + c @ (x_next - phi_n @ x_k)
+        p_sm = linalg.sym(p_k + c @ (p_next - ppred_n) @ c.T)
+        x_out = jnp.where(last, x_k, x_sm)
+        p_out = jnp.where(last, p_k, p_sm)
+        return (x_out, p_out), (x_out, p_out)
+
+    _, (xs_sm, ps_sm) = jax.lax.scan(
+        body, (xs[-1], ps[-1]), (phi_next, ppred_next, xs, ps, is_last),
+        reverse=True,
+    )
+    return estimates._replace(state=xs_sm, covariance=ps_sm)

@@ -63,7 +63,8 @@ def rts_smoother(phis, q, means, covs):
         phi_next, x_k, p_k, is_last = xs
         p_pred = phi_next @ p_k @ phi_next.T + q
         # C = P_k Φ^T P_pred^{-1} via a solve on the transpose.
-        c = jnp.linalg.solve(p_pred.T, (p_k @ phi_next.T).T).T
+        # PSD solve (Cholesky): TPU x64 has no LU decomposition.
+        c = linalg.solve_psd(p_pred, phi_next @ p_k.T).T
         x_sm = x_k + c @ (x_next - phi_next @ x_k)
         p_sm = linalg.sym(p_k + c @ (p_next - p_pred) @ c.T)
         x_out = jnp.where(is_last, x_k, x_sm)

@@ -80,3 +80,83 @@ def test_rts_improves_over_filter():
     err_f = np.sqrt(((np.asarray(ests.state) - truth) ** 2).sum(1)).mean()
     err_s = np.sqrt(((np.asarray(sm) - truth) ** 2).sum(1)).mean()
     assert err_s < 0.85 * err_f, (err_s, err_f)
+
+
+def test_hybrid_rts_equals_plain_rts_without_snc():
+    """hybrid.smooth_all_rts (driven by the recorded P-bar) must equal
+    the explicit-Q RTS smoother when no SNC was armed."""
+    from gokalman_tpu.filters import hybrid
+
+    rng = np.random.default_rng(17)
+    n, p, t = 4, 2, 40
+    f = jnp.asarray(np.eye(n) + 0.05 * rng.standard_normal((n, n)))
+    h = jnp.asarray(rng.standard_normal((p, n)))
+    q = jnp.asarray(random_spd(rng, n, 0.01))
+    r = jnp.asarray(random_spd(rng, p, 0.2))
+    p0 = jnp.eye(n)
+
+    # Hybrid-CKF arc: deviation measurements around a zero reference.
+    model, st = hybrid.new(jnp.zeros(n), p0, gn.noiseless(q, r), p)
+    phis = jnp.broadcast_to(f, (t, n, n))
+    hts = jnp.broadcast_to(h, (t, p, n))
+    obs = jnp.asarray(rng.standard_normal((t, p)))
+    comp = jnp.zeros((t, p))
+    has = jnp.ones(t, bool)
+    # SNC armed on every step so P-bar records Gamma Q Gamma^T too —
+    # use Gamma = I so the plain-RTS oracle with constant q matches.
+    gammas = jnp.broadcast_to(jnp.eye(n), (t, n, n))
+    snc = jnp.ones(t, bool)
+    _, ests = hybrid.run(model, st, phis, hts, obs, comp, has,
+                         gammas=gammas, snc_mask=snc)
+
+    sm = hybrid.smooth_all_rts(ests)
+    xs_or, ps_or = smoothing.rts_smoother(
+        phis, q, ests.state, ests.covariance)
+    np.testing.assert_allclose(np.asarray(sm.state), np.asarray(xs_or),
+                               rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(sm.covariance), np.asarray(ps_or),
+                               rtol=1e-8, atol=1e-10)
+
+
+def test_hybrid_rts_on_snc_arc_beats_filter():
+    """The SNC-armed smoother the reference panics on: on a stochastic
+    arc the smoothed state error must not exceed the filtered error."""
+    from gokalman_tpu.filters import hybrid
+
+    rng = np.random.default_rng(23)
+    n, p, t = 4, 2, 120
+    f = jnp.asarray(np.eye(n) + np.diag(0.1 * np.ones(n - 1), 1))
+    h = jnp.asarray(np.eye(p, n))
+    q = jnp.asarray(0.01 * np.eye(n))
+    r = jnp.asarray(0.09 * np.eye(p))
+    gamma = jnp.asarray(np.concatenate(
+        [np.zeros((n // 2, n)), np.eye(n)[n // 2:]], axis=0))
+
+    # Simulate truth with process noise entering through Gamma.
+    lr = np.sqrt(0.09)
+    x = np.zeros(n)
+    truth, ys = [], []
+    for k in range(t):
+        w = np.zeros(n)
+        w[n // 2:] = 0.1 * rng.standard_normal(n // 2)
+        x = np.asarray(f) @ x + np.asarray(gamma) @ w
+        truth.append(x.copy())
+        ys.append(x[:p] + lr * rng.standard_normal(p))
+    truth = np.stack(truth)
+    ys = jnp.asarray(np.stack(ys))
+
+    model, st = hybrid.new(jnp.zeros(n), jnp.eye(n),
+                           gn.noiseless(0.01 * jnp.eye(n), r), p)
+    phis = jnp.broadcast_to(f, (t, n, n))
+    hts = jnp.broadcast_to(h, (t, p, n))
+    gammas = jnp.broadcast_to(gamma, (t, n, n))
+    # SNC armed on alternating steps (schedule the reference cannot smooth).
+    snc = jnp.asarray(np.arange(t) % 2 == 0)
+    _, ests = hybrid.run(model, st, phis, hts, ys, jnp.zeros((t, p)),
+                         jnp.ones(t, bool), gammas=gammas, snc_mask=snc)
+    sm = hybrid.smooth_all_rts(ests)
+
+    err_f = np.sqrt(((np.asarray(ests.state) - truth) ** 2).sum(1)).mean()
+    err_s = np.sqrt(((np.asarray(sm.state) - truth) ** 2).sum(1)).mean()
+    assert err_s <= err_f * 1.02, (err_s, err_f)
+    assert np.isfinite(np.asarray(sm.covariance)).all()

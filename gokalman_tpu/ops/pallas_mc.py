@@ -213,7 +213,7 @@ def _build(n: int, p: int, tile: int, tv: bool = False, ctrl: bool = False):
         for i in range(n):
             base = jnp.full(cshape, x0v[i], jnp.float32)
             spread = jnp.zeros(cshape, jnp.float32)
-            for j in range(n):
+            for j in range(i + 1):  # Cholesky factor: lower triangular
                 spread += l0mat[i][j] * z0[j]
             xt_ref[i * 8 : (i + 1) * 8, :] = base + spread
             xe_ref[i * 8 : (i + 1) * 8, :] = base
@@ -244,8 +244,10 @@ def _build(n: int, p: int, tile: int, tv: bool = False, ctrl: bool = False):
                 acc = jnp.zeros(cshape, jnp.float32)
                 accp = jnp.zeros(cshape, jnp.float32)
                 for j in range(n):
-                    acc += fmat[i][j] * xt[j] + lqmat[i][j] * w[j]
+                    acc += fmat[i][j] * xt[j]
                     accp += fmat[i][j] * xe[j]  # replay predict F x_e
+                for j in range(i + 1):  # Lq lower triangular
+                    acc += lqmat[i][j] * w[j]
                 if ctrl:
                     gu_i = path_ref[row + gu_off + i]
                     acc += gu_i
@@ -259,7 +261,7 @@ def _build(n: int, p: int, tile: int, tv: bool = False, ctrl: bool = False):
                 acc = jnp.zeros(cshape, jnp.float32)
                 for j in range(n):
                     acc += hm[i][j] * (xt_new[j] - xp[j])
-                for j in range(p):
+                for j in range(i + 1):  # chol(R) lower triangular
                     acc += lrm[i][j] * v[j]
                 innov[i] = acc
 
@@ -285,11 +287,20 @@ def _build(n: int, p: int, tile: int, tv: bool = False, ctrl: bool = False):
                 for j in range(i + 1, p):
                     nis += (2.0 * path_ref[row + si_off + i * p + j]) * innov[i] * innov[j]
 
-            stats_ref[0, t] = fsum(nees)
-            stats_ref[1, t] = fsum(nis)
-            for i in range(n):
-                stats_ref[2 + i, t] = fsum(xt_new[i])
-                stats_ref[x2_row + i, t] = fsum(xt_new[i] * xt_new[i])
+            # All 2+2n per-step reductions in ONE MXU pass set: stack
+            # the quantities and contract against ones once, then each
+            # (8,128) partial collapses with a cheap VPU reduce.
+            block = jnp.concatenate(
+                [nees, nis] + xt_new + [x * x for x in xt_new], axis=0
+            )
+            partial = jax.lax.dot_general(
+                block, ones_mat, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            for q in range(2 + 2 * n):
+                stats_ref[q, t] = jnp.sum(partial[q * 8:(q + 1) * 8, :]) * (
+                    1.0 / 128.0
+                )
             return ()
 
         jax.lax.fori_loop(0, steps, body, ())

@@ -31,7 +31,7 @@ from . import (
     types,
 )
 from .types import FilterType
-from .filters import adaptive, batch, hybrid, information, sqrt, srif, ukf, vanilla
+from .filters import adaptive, batch, hybrid, information, sqrt, srif, srukf, ukf, vanilla
 
 __version__ = "0.1.0"
 
@@ -58,5 +58,6 @@ __all__ = [
     "hybrid",
     "batch",
     "ukf",
+    "srukf",
     "adaptive",
 ]

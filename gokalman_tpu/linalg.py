@@ -189,6 +189,42 @@ def inv_psd(a: jax.Array) -> jax.Array:
     return solve_psd(a, jnp.eye(a.shape[-1], dtype=a.dtype))
 
 
+def chol_update(l: jax.Array, v: jax.Array, weight) -> jax.Array:
+    """Rank-1 Cholesky update/downdate: L' with L' L'^T = L L^T + w v v^T.
+
+    `weight` may be negative (downdate) — the caller guarantees the
+    result stays positive definite.  The classic sequential column
+    algorithm (LINPACK dchud/dchdd) as a fori_loop with row masks; the
+    factors here are tiny (n <= 8), so the serial column chain is
+    negligible.  Needed by the square-root UKF, whose center sigma
+    point carries a weight of either sign (srukf.py).
+    """
+    l = jnp.asarray(l)
+    v = jnp.asarray(v)
+    n = l.shape[-1]
+    w = jnp.asarray(weight, l.dtype)
+    sign = jnp.where(w < 0, -1.0, 1.0).astype(l.dtype)
+    x = v * jnp.sqrt(jnp.abs(w))
+    idx = jnp.arange(n)
+
+    def body(k, carry):
+        lmat, xv = carry
+        lkk = lmat[k, k]
+        xk = xv[k]
+        r = jnp.sqrt(lkk * lkk + sign * xk * xk)
+        c = r / lkk
+        s = xk / lkk
+        below = idx > k
+        col = lmat[:, k]
+        newcol = jnp.where(below, (col + sign * s * xv) / c, col)
+        newcol = newcol.at[k].set(r)
+        xv = jnp.where(below, c * xv - s * newcol, xv)
+        return lmat.at[:, k].set(newcol), xv
+
+    l, _ = jax.lax.fori_loop(0, n, body, (l, x))
+    return l
+
+
 def solve_qr(a: jax.Array, b: jax.Array) -> jax.Array:
     """General solve A x = b via QR instead of LU.
 

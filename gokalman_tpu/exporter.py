@@ -52,21 +52,38 @@ class CSVExporter:
                 vals += [f"{bound:f}", f"{-bound:f}"]
         self._fh.write(self.delimiter.join(vals) + "\n")
 
-    def write_all(self, ests) -> None:
-        """Drain a stacked [T, ...] estimate pytree in one host transfer."""
+    def _trace_matrix(self, ests):
+        """[T, out_cols] float64 matrix of (value, +Nσ, -Nσ) columns."""
         import numpy as np
 
         states = np.asarray(ests.state)
         covars = np.asarray(ests.covariance)
+        cols = []
+        for i in range(states.shape[1]):
+            cols.append(states[:, i])
+            if i >= len(self._bounded) or self._bounded[i]:
+                bound = self.covar_bound * np.sqrt(
+                    np.maximum(covars[:, i, i], 0.0)
+                )
+                cols += [bound, -bound]
+        return np.stack(cols, axis=1)
+
+    def write_all(self, ests) -> None:
+        """Drain a stacked [T, ...] estimate pytree in one host transfer.
+
+        Uses the native C++ formatter (gokalman_tpu.native.fastcsv,
+        printf-"%f"-compatible so output is byte-identical) when
+        available; Python string formatting otherwise."""
+        matrix = self._trace_matrix(ests)
+        from . import native
+
+        text = native.format_csv(matrix)
+        if text is not None:
+            self._fh.write(text)
+            return
         rows = []
-        for k in range(states.shape[0]):
-            vals = []
-            for i in range(states.shape[1]):
-                vals.append(f"{states[k, i]:f}")
-                if i >= len(self._bounded) or self._bounded[i]:
-                    bound = self.covar_bound * math.sqrt(max(covars[k, i, i], 0.0))
-                    vals += [f"{bound:f}", f"{-bound:f}"]
-            rows.append(self.delimiter.join(vals))
+        for k in range(matrix.shape[0]):
+            rows.append(self.delimiter.join(f"{v:f}" for v in matrix[k]))
         self._fh.write("\n".join(rows) + "\n")
 
     def write_raw(self, s: str) -> None:

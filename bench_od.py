@@ -170,7 +170,43 @@ def main(steps=2000):
     r4 = run_one("srif_f32", srif32_fn, s, tail=True,
                  pos_gate=1e-1, vel_gate=2e-4, dtype="float32")
 
-    assert all(r["gates_pass"] for r in (r1, r2, r3, r4)), \
+    # Constellation scale: the whole OD harness vmapped over K
+    # spacecraft (the production posture the reference's goroutine
+    # pipeline cannot express).  Same arc, K perturbed initial states;
+    # throughput counts every (satellite, step) pair.
+    k_sats = 64
+    perts = (1e-2 * jnp.arange(1, k_sats + 1, dtype=jnp.float32)[:, None]
+             * jnp.asarray([1.0, -1.0, 1.0, 0.0, 0.0, 0.0], jnp.float32))
+    x0s = to32(s["x0_ref"])[None, :] + perts
+    const_fn = jax.jit(lambda: jax.vmap(lambda x0: od.run_srif_od(
+        x0, to32(s["p0"]), noise32, ms32, s["dt"],
+        stations_list=sts32, degree=2, t0=s["t0"],
+    ))(x0s)).lower().compile()
+    res = const_fn()
+    _ = float(res.est_states[-1, -1, 0])
+    best = float("inf")
+    for _i in range(3):
+        t0 = time.perf_counter()
+        res = const_fn()
+        _ = float(res.est_states[-1, -1, 0])
+        best = min(best, time.perf_counter() - t0)
+    n_steps = int(res.est_states.shape[1])
+    est = np.asarray(res.est_states)
+    finite = bool(np.isfinite(est).all())
+    r5 = {
+        "metric": "srif_f32_constellation_steps_per_sec",
+        "value": k_sats * n_steps / best,
+        "unit": "od_steps/s",
+        "satellites": k_sats,
+        "steps": n_steps,
+        "finite": finite,
+        "gates_pass": finite,
+        "dtype": "float32",
+        "backend": jax.default_backend(),
+    }
+    print(json.dumps(r5))
+
+    assert all(r["gates_pass"] for r in (r1, r2, r3, r4, r5)), \
         "accuracy gates failed"
 
 

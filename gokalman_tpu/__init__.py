@@ -31,7 +31,20 @@ from . import (
     types,
 )
 from .types import FilterType
-from .filters import adaptive, batch, hybrid, information, sqrt, srif, srukf, ukf, vanilla
+from .filters import (
+    adaptive,
+    batch,
+    enkf,
+    hybrid,
+    imm,
+    information,
+    particle,
+    sqrt,
+    srif,
+    srukf,
+    ukf,
+    vanilla,
+)
 
 __version__ = "0.1.0"
 
@@ -60,4 +73,7 @@ __all__ = [
     "ukf",
     "srukf",
     "adaptive",
+    "enkf",
+    "particle",
+    "imm",
 ]

@@ -1,0 +1,293 @@
+"""Ensemble Kalman filter (EnKF) family, TPU-first.
+
+Beyond the reference: gokalman's filters all carry an explicit [n, n]
+covariance (vanilla.go:149-152), which caps them at small state
+dimensions.  The EnKF replaces the covariance with an ensemble of N
+state samples whose anomalies *are* the square-root factor — the
+analysis becomes a handful of [N, n] x [n, p] matmuls, which is exactly
+the shape the TPU MXU wants: large, batched, static.  No n x n matrix
+is ever formed on the critical path (the Estimate's covariance field is
+derived output), so the same code scales from the reference's 6-state
+trackers to 1e5-state geophysical systems.
+
+Two analysis schemes:
+
+- `step` (stochastic EnKF, perturbed observations; Evensen 2003): each
+  member assimilates `y + v_i`, `v_i ~ N(0, R)`.  Exact in expectation,
+  O(1/sqrt(N)) sampling noise, supports covariance localization.
+- `step_etkf` (ensemble transform KF; Bishop et al. 2001, Hunt et al.
+  2007 formulation): deterministic right-transform of the anomalies in
+  the N-dimensional ensemble space — no observation perturbations, so
+  with a full-rank ensemble and linear models it reproduces the exact
+  Kalman filter (pinned in tests/test_enkf.py).
+
+Both are pure `(model_fns, state, inputs) -> (state, estimate)` steps,
+scanned with `run`, vmappable over filter banks like every other module
+here.  Dynamics/measurement functions are jittable callables applied
+with one `vmap` over the member axis (the SURVEY.md §7 stance: the
+ensemble is the batch axis).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .. import linalg
+from ..noise import Noise
+
+
+class State(NamedTuple):
+    ensemble: jax.Array  # [N, n] member states
+    k: jax.Array  # [] int32 step counter
+
+
+class Estimate(NamedTuple):
+    state: jax.Array  # [n] ensemble mean
+    measurement: jax.Array  # [p] predicted measurement (mean of h(X))
+    innovation: jax.Array  # [p] y - h_mean
+    covariance: jax.Array  # [n, n] posterior sample covariance
+    pred_covariance: jax.Array  # [n, n] forecast sample covariance
+    gain: jax.Array  # [n, p]
+
+    def within_nsigma(self, n_sigma) -> jax.Array:
+        return linalg.is_within_nsigma(self.state, self.covariance, n_sigma)
+
+
+def new(x0, p0, n_ens: int, noise: Noise, key=None) -> State:
+    """Initial ensemble for the filter.
+
+    With a key: X_i = x0 + L0 z_i (random draw, the Monte-Carlo stance
+    of montecarlo.go:29-31).  Without: the deterministic symmetric
+    ensemble of `deterministic_ensemble`, whose sample mean/covariance
+    equal (x0, P0) *exactly* — the right choice for ETKF parity runs.
+    """
+    x0 = jnp.asarray(x0)
+    p0 = jnp.asarray(p0)
+    linalg.check_dims((x0.shape[0], 1), p0.shape, "x0", "P0", "rows2cols")
+    if key is None:
+        ens = deterministic_ensemble(x0, p0, n_ens)
+    else:
+        z = jax.random.normal(key, (n_ens, x0.shape[0]), dtype=x0.dtype)
+        ens = x0[None, :] + z @ jnp.linalg.cholesky(p0).T
+    return State(ens, jnp.int32(0))
+
+
+def deterministic_ensemble(x0, p0, n_ens: int) -> jax.Array:
+    """Symmetric (sigma-point style) ensemble: paired members
+    x0 ± c L e_i with c chosen so the *sample* covariance (1/(N-1)
+    normalization) is exactly P0 and the sample mean exactly x0.
+    Requires n_ens >= 2n and even."""
+    x0 = jnp.asarray(x0)
+    p0 = jnp.asarray(p0)
+    n = x0.shape[0]
+    if n_ens < 2 * n or n_ens % 2:
+        raise ValueError(f"deterministic ensemble needs even n_ens >= {2 * n}")
+    l = jnp.linalg.cholesky(p0)
+    half = n_ens // 2
+    cols = jnp.zeros((half, n), x0.dtype).at[:n].set(l.T)  # rows = scaled axes
+    c = jnp.sqrt((n_ens - 1) / 2.0).astype(x0.dtype)
+    dev = jnp.concatenate([c * cols, -c * cols], axis=0)  # [N, n], zero mean
+    return x0[None, :] + dev
+
+
+def gaspari_cohn(dist, c):
+    """Gaspari & Cohn (1999) 5th-order piecewise-rational taper:
+    1 at distance 0, compactly supported (exactly 0 beyond 2c).
+    `dist` is any array of non-negative distances; `c` the half-width.
+    Used to build localization masks for `step(loc_xy=, loc_yy=)`."""
+    r = jnp.abs(jnp.asarray(dist)) / c
+    near = (
+        -0.25 * r**5 + 0.5 * r**4 + 0.625 * r**3 - (5.0 / 3.0) * r**2 + 1.0
+    )
+    r_safe = jnp.maximum(r, 1e-12)
+    far = (
+        (1.0 / 12.0) * r_safe**5 - 0.5 * r_safe**4 + 0.625 * r_safe**3
+        + (5.0 / 3.0) * r_safe**2 - 5.0 * r_safe + 4.0 - (2.0 / 3.0) / r_safe
+    )
+    out = jnp.where(r <= 1.0, near, jnp.where(r <= 2.0, far, 0.0))
+    return jnp.maximum(out, 0.0)
+
+
+def _forecast(state: State, noise: Noise, fx: Callable, key, control,
+              inflation):
+    """Propagate every member through fx (+ process noise), return the
+    forecast ensemble with inflated anomalies."""
+    prop = jax.vmap((lambda s: fx(s, control)) if control is not None else fx)(
+        state.ensemble
+    )
+    if key is not None:
+        z = jax.random.normal(key, prop.shape, dtype=prop.dtype)
+        prop = prop + z @ noise.sqrt_q.T
+    mean = jnp.mean(prop, axis=0)
+    dev = (prop - mean[None, :]) * inflation
+    return mean + dev, mean, dev
+
+
+def _moments(ens: jax.Array):
+    mean = jnp.mean(ens, axis=0)
+    dev = ens - mean[None, :]
+    return mean, dev
+
+
+@linalg.highp
+def step(noise: Noise, state: State, measurement, fx: Callable, hx: Callable,
+         key: jax.Array, control=None, inflation=1.0, has=None,
+         loc_xy=None, loc_yy=None):
+    """One stochastic-EnKF step (forecast + perturbed-obs analysis).
+
+    The key drives both the process-noise draws and the observation
+    perturbations (split internally — deterministic given the key, the
+    noise.go:146 wall-clock reseed made reproducible as everywhere in
+    this framework).  `inflation` multiplies the forecast anomalies
+    (multiplicative covariance inflation).  `has` masks the analysis
+    (masked step = pure ensemble forecast), the same convention as
+    ukf.step / srif.step.  `loc_xy` [n, p] / `loc_yy` [p, p] are
+    optional Schur-product localization tapers on the cross- and
+    innovation-covariances (build with `gaspari_cohn`).
+    """
+    n_ens = state.ensemble.shape[0]
+    k_q, k_r = jax.random.split(key)
+    ens_f, x_pred, dev = _forecast(state, noise, fx, k_q, control, inflation)
+    p_pred = dev.T @ dev / (n_ens - 1)
+
+    ys = jax.vmap(hx)(ens_f)  # [N, p]
+    y_mean, y_dev = _moments(ys)
+    pxy = dev.T @ y_dev / (n_ens - 1)  # [n, p]
+    pyy = y_dev.T @ y_dev / (n_ens - 1) + noise.r  # [p, p]
+    if loc_xy is not None:
+        pxy = pxy * loc_xy
+    if loc_yy is not None:
+        pyy = y_dev.T @ y_dev / (n_ens - 1) * loc_yy + noise.r
+    k_gain = linalg.solve_psd(pyy, pxy.T).T  # [n, p]
+
+    # Perturbed observations: each member assimilates y + v_i.  Center
+    # the perturbations so the analysis mean is exact for any N.
+    v = jax.random.normal(k_r, ys.shape, dtype=ys.dtype) @ noise.sqrt_r.T
+    v = v - jnp.mean(v, axis=0, keepdims=True)
+    innovation = measurement - y_mean
+    if has is not None:
+        k_gain = jnp.where(has, k_gain, jnp.zeros_like(k_gain))
+        innovation = jnp.where(has, innovation, jnp.zeros_like(innovation))
+    ens_a = ens_f + (innovation[None, :] + v - y_dev) @ k_gain.T
+
+    x, dev_a = _moments(ens_a)
+    est = Estimate(
+        state=x,
+        measurement=y_mean,
+        innovation=innovation,
+        covariance=dev_a.T @ dev_a / (n_ens - 1),
+        pred_covariance=p_pred,
+        gain=k_gain,
+    )
+    return State(ens_a, state.k + 1), est
+
+
+@linalg.highp
+def step_etkf(noise: Noise, state: State, measurement, fx: Callable,
+              hx: Callable, key=None, control=None, inflation=1.0, has=None):
+    """One deterministic ETKF step (Hunt et al. 2007 ensemble-space
+    form).  With key=None the forecast is noise-free (pair with
+    inflation>1 or Q folded into the dynamics); with a key, process
+    noise is added stochastically as in `step`.
+
+    Analysis in ensemble space: with S = R^{-1/2} Ydev,
+      P_tilde = [(N-1) I + Sᵀ S]⁻¹           (via eigh, [N, N])
+      w_mean  = P_tilde Sᵀ R^{-1/2} (y - ȳ)
+      W       = sqrt(N-1) P_tilde^{1/2}       (symmetric square root)
+      X_a     = x̄ + dev (w_mean + W)
+    The symmetric square root keeps the analysis mean-preserving and
+    reproduces the exact KF posterior for linear models with a
+    full-rank ensemble (tests/test_enkf.py pins this to 1e-8).
+    """
+    n_ens = state.ensemble.shape[0]
+    ens_f, x_pred, dev = _forecast(state, noise, fx, key, control, inflation)
+    p_pred = dev.T @ dev / (n_ens - 1)
+
+    ys = jax.vmap(hx)(ens_f)
+    y_mean, y_dev = _moments(ys)
+    # Whiten in measurement space: S = R^{-1/2} applied to anomalies.
+    lr = jnp.linalg.cholesky(noise.r)
+    s = linalg.solve_tri_lower(lr, y_dev.T).T  # [N, p]
+    d = linalg.solve_tri_lower(lr, measurement - y_mean)  # [p]
+
+    # Eigendecomposition of (N-1)I + SSᵀ in ensemble space.
+    evals, evecs = jnp.linalg.eigh(s @ s.T)  # [N], [N, N]
+    inv_l = 1.0 / (evals + (n_ens - 1.0))
+    p_tilde = (evecs * inv_l[None, :]) @ evecs.T
+    w_mean = p_tilde @ (s @ d)  # [N]
+    w_sqrt = (evecs * jnp.sqrt((n_ens - 1.0) * inv_l)[None, :]) @ evecs.T
+
+    if has is not None:
+        w_mean = jnp.where(has, w_mean, jnp.zeros_like(w_mean))
+        w_sqrt = jnp.where(has, w_sqrt, jnp.eye(n_ens, dtype=w_sqrt.dtype))
+    weights = w_mean[:, None] + w_sqrt  # [N, N] per-member weight columns
+    ens_a = x_pred[None, :] + (dev.T @ weights).T  # [N, n]
+
+    innovation = measurement - y_mean
+    if has is not None:
+        innovation = jnp.where(has, innovation, jnp.zeros_like(innovation))
+    x, dev_a = _moments(ens_a)
+    # Implied gain (diagnostic): Δx = devᵀ P̃ s L⁻¹ innov, so
+    # K = (devᵀ P̃ s) L⁻¹, solved against the triangular factor.
+    m = dev.T @ p_tilde @ s  # [n, p]
+    k_gain = linalg.solve_tri_upper(lr.T, m.T).T  # [n, p]
+    est = Estimate(
+        state=x,
+        measurement=y_mean,
+        innovation=innovation,
+        covariance=dev_a.T @ dev_a / (n_ens - 1),
+        pred_covariance=p_pred,
+        gain=k_gain,
+    )
+    return State(ens_a, state.k + 1), est
+
+
+@linalg.highp
+def run(noise: Noise, state: State, measurements, fx: Callable, hx: Callable,
+        key=None, controls=None, inflation=1.0, meas_masks=None,
+        method: str = "stochastic", loc_xy=None, loc_yy=None):
+    """lax.scan driver over the time axis.
+
+    method='stochastic' (perturbed observations, needs `key`) or
+    'etkf' (deterministic transform; key optional — None means
+    noise-free forecasts).  `meas_masks` ([T] bool) marks measurement
+    steps, as in ukf.run.
+    """
+    t = measurements.shape[0]
+    keys = None
+    if key is not None:
+        keys = jax.random.split(key, t)
+
+    if method == "stochastic":
+        if keys is None:
+            raise ValueError("stochastic EnKF requires a PRNG key")
+
+        def body(carry, xs):
+            meas, u, has, k = xs
+            return step(noise, carry, meas, fx, hx, k, u, inflation, has,
+                        loc_xy, loc_yy)
+    elif method == "etkf":
+        def body(carry, xs):
+            meas, u, has, k = xs
+            return step_etkf(noise, carry, meas, fx, hx, k, u, inflation, has)
+    else:
+        raise ValueError(f"unknown EnKF method {method!r}")
+
+    return jax.lax.scan(body, state, (measurements, controls, meas_masks, keys))
+
+
+def linear_fns(f, h, g=None):
+    """Convenience: (fx, hx) callables for a linear model, so EnKF runs
+    can be compared 1:1 against vanilla.run on the same system."""
+    f = jnp.asarray(f)
+    h = jnp.asarray(h)
+    if g is None:
+        fx = lambda x: f @ x
+    else:
+        gm = jnp.asarray(g)
+        fx = lambda x, u: f @ x + gm @ u
+    hx = lambda x: h @ x
+    return fx, hx

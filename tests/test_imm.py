@@ -1,0 +1,125 @@
+"""IMM estimator: degenerate single-mode equivalence with the vanilla
+CKF, mode identification on a maneuvering target, masked steps, and
+probability bookkeeping."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import gokalman_tpu as gk
+from gokalman_tpu.filters import imm, vanilla
+
+
+def _cv_model(q_scale):
+    """2-state constant-velocity tracker with tunable process noise."""
+    dt = 0.5
+    f = jnp.array([[1.0, dt], [0.0, 1.0]])
+    h = jnp.array([[1.0, 0.0]])
+    q = q_scale * jnp.array([[dt**3 / 3, dt**2 / 2], [dt**2 / 2, dt]])
+    r = jnp.array([[0.09]])
+    model, _ = vanilla.new(jnp.zeros(2), jnp.eye(2), f, None, h,
+                           gk.noise.noiseless(q, r))
+    return model
+
+
+def test_identical_modes_reduce_to_single_kf():
+    """With M identical modes the IMM is exactly the single-model CKF:
+    mixing is a no-op and the combination has zero mode spread."""
+    model = _cv_model(0.01)
+    x0 = jnp.array([0.1, -0.3])
+    p0 = 2.0 * jnp.eye(2)
+    rng = np.random.default_rng(0)
+    ys = jnp.asarray(rng.standard_normal((20, 1)))
+
+    _, st = vanilla.new(x0, p0, model.f, None, model.h, model.noise)
+    _, kf_est = vanilla.run(model, st, measurements=ys)
+
+    im, ist = imm.new(x0, p0, [model, model],
+                      trans=jnp.array([[0.9, 0.1], [0.1, 0.9]]))
+    _, est = imm.run(im, ist, ys)
+
+    np.testing.assert_allclose(est.state, kf_est.state, atol=1e-9)
+    np.testing.assert_allclose(est.covariance, kf_est.covariance, atol=1e-9)
+    np.testing.assert_allclose(est.mode_probs, 0.5, atol=1e-9)
+    np.testing.assert_allclose(
+        jnp.sum(est.mode_probs, axis=1), 1.0, atol=1e-12
+    )
+
+
+def test_imm_identifies_maneuver():
+    """CV(quiet) vs CV(agile) bank on a target that starts ballistic
+    and then maneuvers: the agile mode's probability must take over
+    after the maneuver onset, and the IMM must beat the quiet-only KF."""
+    quiet = _cv_model(1e-4)
+    agile = _cv_model(1.0)
+    dt = 0.5
+    rng = np.random.default_rng(3)
+
+    # Truth: constant velocity for 30 steps, then a hard weave.
+    xs = [np.array([0.0, 0.4])]
+    for k in range(60):
+        f = np.asarray(quiet.f)
+        x = f @ xs[-1]
+        if k >= 30:
+            x[1] += 0.8 * np.sin(0.6 * k)  # velocity jinks
+        xs.append(x)
+    truth = np.stack(xs[1:])
+    ys = jnp.asarray(truth[:, :1] + 0.3 * rng.standard_normal((60, 1)))
+
+    trans = jnp.array([[0.97, 0.03], [0.03, 0.97]])
+    im, ist = imm.new(jnp.array([0.0, 0.4]), jnp.eye(2), [quiet, agile], trans)
+    _, est = imm.run(im, ist, ys)
+
+    mu = np.asarray(est.mode_probs)
+    assert mu[5:28, 0].mean() > 0.6, mu[5:28, 0].mean()  # quiet wins early
+    assert mu[40:, 1].mean() > 0.8, mu[40:, 1].mean()  # agile wins late
+
+    _, qst = vanilla.new(jnp.array([0.0, 0.4]), jnp.eye(2), quiet.f, None,
+                         quiet.h, quiet.noise)
+    _, kf_q = vanilla.run(quiet, qst, measurements=ys)
+    imm_rms = float(np.sqrt(np.mean((np.asarray(est.state)[35:, 0]
+                                     - truth[35:, 0]) ** 2)))
+    kf_rms = float(np.sqrt(np.mean((np.asarray(kf_q.state)[35:, 0]
+                                    - truth[35:, 0]) ** 2)))
+    assert imm_rms < 0.7 * kf_rms, (imm_rms, kf_rms)
+
+
+def test_masked_step_markov_mixes_only():
+    quiet = _cv_model(1e-4)
+    agile = _cv_model(1.0)
+    trans = jnp.array([[0.8, 0.2], [0.4, 0.6]])
+    im, ist = imm.new(jnp.zeros(2), jnp.eye(2), [quiet, agile], trans,
+                      mu0=jnp.array([1.0, 0.0]))
+    st, est = imm.step(im, ist, jnp.array([0.5]), has=jnp.array(False))
+    # Mode probabilities evolved by the chain alone: mu' = mu @ trans.
+    np.testing.assert_allclose(est.mode_probs, jnp.array([0.8, 0.2]),
+                               atol=1e-12)
+    np.testing.assert_allclose(est.innovation, 0.0, atol=0)
+    np.testing.assert_allclose(float(est.log_likelihood), 0.0, atol=0)
+    # Per-mode states are pure predictions from the mixed priors.
+    np.testing.assert_allclose(st.xs[0], quiet.f @ jnp.zeros(2), atol=1e-12)
+
+
+def test_imm_log_likelihood_sums_to_kf_for_single_mode():
+    model = _cv_model(0.01)
+    rng = np.random.default_rng(1)
+    ys = jnp.asarray(rng.standard_normal((15, 1)))
+    x0, p0 = jnp.zeros(2), jnp.eye(2)
+    _, st = vanilla.new(x0, p0, model.f, None, model.h, model.noise)
+    _, kf_est = vanilla.run(model, st, measurements=ys)
+    kf_ll = float(vanilla.innovations_log_likelihood(model, kf_est))
+    im, ist = imm.new(x0, p0, [model, model], jnp.eye(2))
+    _, est = imm.run(im, ist, ys)
+    np.testing.assert_allclose(float(jnp.sum(est.log_likelihood)), kf_ll,
+                               rtol=1e-9)
+
+
+def test_ctor_errors():
+    model = _cv_model(0.01)
+    with pytest.raises(ValueError):
+        imm.new(jnp.zeros(2), jnp.eye(2), [model, model],
+                trans=jnp.array([[0.9, 0.2], [0.1, 0.9]]))  # rows != 1
+    with pytest.raises(ValueError):
+        imm.new(jnp.zeros(2), jnp.eye(2), [model],
+                trans=jnp.array([[0.9, 0.1], [0.1, 0.9]]))  # M mismatch

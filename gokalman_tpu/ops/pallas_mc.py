@@ -143,7 +143,8 @@ def precompute_path(model, state0, steps, controls=None, hs=None, rs=None,
 
 
 @functools.lru_cache(maxsize=16)
-def _build(n: int, p: int, tile: int, tv: bool = False, ctrl: bool = False):
+def _build(n: int, p: int, tile: int, tv: bool = False, ctrl: bool = False,
+           chunk: int = 0):
     """Build the fused kernel + host wrapper for a given shape triple.
 
     tv=True streams the per-step measurement model (H_k, chol R_k)
@@ -152,9 +153,21 @@ def _build(n: int, p: int, tile: int, tv: bool = False, ctrl: bool = False):
     per step, so time-varying H/R costs only the extra scalar reads).
     ctrl=True adds a per-step G·u_k vector to both the truth and replay
     predictions (main.go:149's control argument).
+
+    chunk>0 (lanes, multiple of 128) switches the step body to a
+    lane-chunked schedule: the whole per-step pipeline runs on
+    register-sized (8, chunk) blocks, one chunk at a time, with per-step
+    statistics accumulated across chunks in registers and reduced
+    through one small MXU dot.  Measured NEUTRAL on v5e for the (6, 3)
+    tile=32768 benchmark shape (48.7 -> 48.0 ms per launch: Mosaic's
+    default schedule already keeps the working set resident) — kept as
+    a tuning knob for larger (n, p) where the ~2n(n+p) full-width
+    intermediates would exceed the register file.
     """
     if tile % 1024:
         raise ValueError("tile must be a multiple of 1024")
+    if chunk and (chunk % 128 or (tile // 8) % chunk):
+        raise ValueError("chunk must be a multiple of 128 dividing tile//8")
     # SMEM path packing per step: K [n,p], Pinv [n,n], Sinv [p,p],
     # then (tv) H [p,n] + cholR [p,p], then (ctrl) G·u [n].
     k_off = 0
@@ -305,6 +318,127 @@ def _build(n: int, p: int, tile: int, tv: bool = False, ctrl: bool = False):
 
         jax.lax.fori_loop(0, steps, body, ())
 
+    def kernel_body_chunked(path_ref, fixed_ref, seed_ref, steps_ref,
+                            stats_ref, xt_ref, xe_ref):
+        """Lane-chunked schedule (chunk > 0): identical math, but each
+        step processes the ensemble in (8, chunk) register blocks."""
+        tile_id = pl.program_id(0)
+        pltpu.prng_seed(seed_ref[0] + tile_id)
+        steps = steps_ref[0]
+        nchunks = (tile // 8) // chunk
+        cshape = (8, chunk)
+
+        fmat = [[fixed_ref[f_off + i * n + j] for j in range(n)] for i in range(n)]
+        lqmat = [[fixed_ref[lq_off + i * n + j] for j in range(n)] for i in range(n)]
+        hmat = [[fixed_ref[h_off + i * n + j] for j in range(n)] for i in range(p)]
+        lrmat = [[fixed_ref[lr_off + i * p + j] for j in range(p)] for i in range(p)]
+        x0v = [fixed_ref[x0_off + i] for i in range(n)]
+        l0mat = [[fixed_ref[l0_off + i * n + j] for j in range(n)] for i in range(n)]
+
+        for c in range(nchunks):
+            sl = slice(c * chunk, (c + 1) * chunk)
+            z0 = _normal_batch(cshape, n)
+            for i in range(n):
+                base = jnp.full(cshape, x0v[i], jnp.float32)
+                spread = jnp.zeros(cshape, jnp.float32)
+                for j in range(i + 1):
+                    spread += l0mat[i][j] * z0[j]
+                xt_ref[i * 8 : (i + 1) * 8, sl] = base + spread
+                xe_ref[i * 8 : (i + 1) * 8, sl] = base
+
+        ones_mat = jnp.ones((chunk, 128), jnp.float32)
+
+        def body(t, _):
+            row = t * row_len
+            if tv:
+                hm = [[path_ref[row + h_row_off + i * n + j]
+                       for j in range(n)] for i in range(p)]
+                lrm = [[path_ref[row + lr_row_off + i * p + j]
+                        for j in range(p)] for i in range(p)]
+            else:
+                hm, lrm = hmat, lrmat
+            kvals = [[path_ref[row + k_off + i * p + j] for j in range(p)]
+                     for i in range(n)]
+            pivals = [[path_ref[row + pi_off + i * n + j] for j in range(n)]
+                      for i in range(n)]
+            sivals = [[path_ref[row + si_off + i * p + j] for j in range(p)]
+                      for i in range(p)]
+            guvals = (
+                [path_ref[row + gu_off + i] for i in range(n)] if ctrl else None
+            )
+
+            accs = [jnp.zeros(cshape, jnp.float32) for _ in range(2 + 2 * n)]
+            for c in range(nchunks):
+                sl = slice(c * chunk, (c + 1) * chunk)
+                wv = _normal_batch(cshape, n + p)
+                w, v = wv[:n], wv[n:]
+                xt = [xt_ref[i * 8 : (i + 1) * 8, sl] for i in range(n)]
+                xe = [xe_ref[i * 8 : (i + 1) * 8, sl] for i in range(n)]
+
+                xt_new = [None] * n
+                xp = [None] * n
+                for i in range(n):
+                    acc = jnp.zeros(cshape, jnp.float32)
+                    accp = jnp.zeros(cshape, jnp.float32)
+                    for j in range(n):
+                        acc += fmat[i][j] * xt[j]
+                        accp += fmat[i][j] * xe[j]
+                    for j in range(i + 1):
+                        acc += lqmat[i][j] * w[j]
+                    if ctrl:
+                        acc += guvals[i]
+                        accp += guvals[i]
+                    xt_new[i] = acc
+                    xp[i] = accp
+
+                innov = [None] * p
+                for i in range(p):
+                    acc = jnp.zeros(cshape, jnp.float32)
+                    for j in range(n):
+                        acc += hm[i][j] * (xt_new[j] - xp[j])
+                    for j in range(i + 1):
+                        acc += lrm[i][j] * v[j]
+                    innov[i] = acc
+
+                err = [None] * n
+                for i in range(n):
+                    upd = xp[i]
+                    for j in range(p):
+                        upd += kvals[i][j] * innov[j]
+                    xe_ref[i * 8 : (i + 1) * 8, sl] = upd
+                    xt_ref[i * 8 : (i + 1) * 8, sl] = xt_new[i]
+                    err[i] = xt_new[i] - upd
+
+                nees = jnp.zeros(cshape, jnp.float32)
+                for i in range(n):
+                    nees += pivals[i][i] * err[i] * err[i]
+                    for j in range(i + 1, n):
+                        nees += (2.0 * pivals[i][j]) * err[i] * err[j]
+                nis = jnp.zeros(cshape, jnp.float32)
+                for i in range(p):
+                    nis += sivals[i][i] * innov[i] * innov[i]
+                    for j in range(i + 1, p):
+                        nis += (2.0 * sivals[i][j]) * innov[i] * innov[j]
+
+                accs[0] += nees
+                accs[1] += nis
+                for i in range(n):
+                    accs[2 + i] += xt_new[i]
+                    accs[2 + n + i] += xt_new[i] * xt_new[i]
+
+            block = jnp.concatenate(accs, axis=0)
+            partial = jax.lax.dot_general(
+                block, ones_mat, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            for q in range(2 + 2 * n):
+                stats_ref[q, t] = jnp.sum(partial[q * 8:(q + 1) * 8, :]) * (
+                    1.0 / 128.0
+                )
+            return ()
+
+        jax.lax.fori_loop(0, steps, body, ())
+
     def _pack_path(k_path, p_inv_path, s_inv_path, hs=None, lrs=None, gus=None):
         t = k_path.shape[0]
         cols = [
@@ -366,10 +500,12 @@ def _build(n: int, p: int, tile: int, tv: bool = False, ctrl: bool = False):
             ],
         )
 
+        body_fn = kernel_body_chunked if chunk else kernel_body
+
         def kernel(path_ref, fixed_ref, seed_ref, steps_ref,
                    stats_ref, xt_ref, xe_ref):
-            kernel_body(path_ref, fixed_ref, seed_ref, steps_ref,
-                        stats_ref.at[0], xt_ref, xe_ref)
+            body_fn(path_ref, fixed_ref, seed_ref, steps_ref,
+                    stats_ref.at[0], xt_ref, xe_ref)
 
         stats = pl.pallas_call(
             kernel,
@@ -403,6 +539,7 @@ def mc_chi_square_pallas(
     rs=None,
     meas_masks=None,
     path=None,
+    chunk: int = 0,
 ) -> ChiSquareResult:
     """Fused-kernel equivalent of ops.ensemble.mc_chi_square
     (lagged_measurements=False semantics) for any (n, p) model,
@@ -417,7 +554,7 @@ def mc_chi_square_pallas(
     p = model.h.shape[0]
     tv = hs is not None or rs is not None or meas_masks is not None
     ctrl = controls is not None and model.g is not None
-    run = _build(n, p, min(tile, samples), tv, ctrl)
+    run = _build(n, p, min(tile, samples), tv, ctrl, chunk)
     return run(model, state0, samples, steps, seed, init_spread,
                controls=controls if ctrl else None,
                hs=hs, rs=rs, meas_masks=meas_masks, path=path)

@@ -68,7 +68,7 @@ def main():
         path = precompute_path(model, state0, STEPS)
         jax.block_until_ready(path)
 
-        def make_pipeline(repeats):
+        def make_pipeline(repeats, fast_rng=False):
             # `repeats` back-to-back experiments (distinct seeds) inside
             # ONE jitted call, stats averaged.  On this tunneled backend
             # a single launch carries a ~26 ms fixed dispatch+host-read
@@ -85,6 +85,7 @@ def main():
                         model, state0, SAMPLES, STEPS,
                         seed0 + jnp.int32(1000 * i),
                         init_spread=True, path=path, tile=32768,
+                        fast_rng=fast_rng,
                     )
                     for i in range(repeats)
                 ]
@@ -141,6 +142,16 @@ def main():
         t_lo = min(timed(pipeline, jnp.int32(s)) for s in keys[:6])
         t_hi = min(timed(hi, jnp.int32(s)) for s in keys[:6])
         marginal = max((t_hi - t_lo) / (r_hi - r_lo), 1e-9)
+        # Secondary datapoint: the arithmetic-only fast_rng generator
+        # (exact mean/var/skew, kurtosis -0.082; NEES/NIS means are
+        # provably unchanged in the linear pipeline).  Reported
+        # alongside, NOT as the headline — the headline stays on the
+        # exact Box-Muller path.
+        f_lo, f_hi = make_pipeline(r_lo, True), make_pipeline(r_hi, True)
+        jax.block_until_ready(f_hi(jnp.int32(0)))
+        tf_lo = min(timed(f_lo, jnp.int32(s)) for s in keys[:4])
+        tf_hi = min(timed(f_hi, jnp.int32(s)) for s in keys[:4])
+        marginal_fast = max((tf_hi - tf_lo) / (r_hi - r_lo), 1e-9)
         print(
             json.dumps(
                 {
@@ -151,6 +162,8 @@ def main():
                     "per_launch": steps / t_lo,
                     "dispatch_overhead_ms": 1e3 * (t_lo - marginal),
                     "kernel_ms": 1e3 * marginal,
+                    "value_fast_rng": steps / marginal_fast,
+                    "kernel_ms_fast_rng": 1e3 * marginal_fast,
                     "n_timed": 12,
                     "backend": backend,
                 }

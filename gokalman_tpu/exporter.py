@@ -110,6 +110,87 @@ def new_csv_exporter(headers, filepath, filename):
     return CSVExporter(headers, filepath, filename, covar_bound=2.0)
 
 
+class AsyncCSVExporter(CSVExporter):
+    """Streaming estimate sink with a background writer thread.
+
+    The reference streams each Estimate into a Go channel drained by a
+    CSV-writing goroutine so filtering never blocks on I/O
+    (examples/jerkcar/main.go:71-91, README.md:10-24).  This is the
+    same pipeline without shared mutable state: `write`/`write_all`
+    convert estimates to host arrays and enqueue; the writer thread
+    formats (through the native C++ formatter when available — the
+    ctypes call releases the GIL, so formatting genuinely overlaps
+    device compute) and writes.  Output bytes are identical to the
+    synchronous CSVExporter.  `close()` drains the queue, joins the
+    thread, and re-raises any writer-side exception.
+    """
+
+    def __init__(self, headers, filepath, filename, covar_bound: float = 2.0,
+                 max_queue: int = 64):
+        import queue
+        import threading
+
+        super().__init__(headers, filepath, filename, covar_bound)
+        self._q = queue.Queue(maxsize=max_queue)
+        self._err = None
+        self._thread = threading.Thread(target=self._drain, daemon=True)
+        self._thread.start()
+
+    def _drain(self):
+        from . import native
+
+        while True:
+            matrix = self._q.get()
+            if matrix is None:
+                return
+            try:
+                text = native.format_csv(matrix)
+                if text is None:
+                    text = "\n".join(
+                        self.delimiter.join(f"{v:f}" for v in row)
+                        for row in matrix
+                    ) + "\n"
+                self._fh.write(text)
+            except Exception as e:  # surfaced on close()
+                self._err = e
+                return
+            finally:
+                self._q.task_done()
+
+    def _check(self):
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise err
+        if not self._thread.is_alive():
+            raise RuntimeError("AsyncCSVExporter is closed")
+
+    def write(self, est) -> None:
+        import types
+
+        import numpy as np
+
+        self._check()
+        stacked = types.SimpleNamespace(
+            state=np.asarray(est.state)[None],
+            covariance=np.asarray(est.covariance)[None],
+        )
+        self._q.put(self._trace_matrix(stacked), timeout=60)
+
+    def write_all(self, ests) -> None:
+        self._check()
+        self._q.put(self._trace_matrix(ests), timeout=60)
+
+    def close(self) -> None:
+        if self._thread.is_alive():
+            self._q.put(None)
+            self._thread.join()
+        if self._err is not None:
+            err, self._err = self._err, None
+            self._fh.close()
+            raise err
+        super().close()
+
+
 def read_csv(path):
     """Read a CSV written by CSVExporter (or any comment-prefixed
     numeric CSV): returns (headers, data [rows, cols] float array).

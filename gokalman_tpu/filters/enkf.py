@@ -70,7 +70,10 @@ def new(x0, p0, n_ens: int, noise: Noise, key=None) -> State:
     if key is None:
         ens = deterministic_ensemble(x0, p0, n_ens)
     else:
-        z = jax.random.normal(key, (n_ens, x0.shape[0]), dtype=x0.dtype)
+        # Per-member keyed draws (fold_in on the global member index):
+        # a device-sharded ensemble initialised shard-by-shard with the
+        # matching member_offset reproduces this exactly.
+        z = _member_normals(key, n_ens, x0.shape[0], x0.dtype, 0)
         ens = x0[None, :] + z @ jnp.linalg.cholesky(p0).T
     return State(ens, jnp.int32(0))
 
@@ -111,19 +114,42 @@ def gaspari_cohn(dist, c):
     return jnp.maximum(out, 0.0)
 
 
+def _member_normals(key, n_members: int, dim: int, dtype, member_offset=0):
+    """[n_members, dim] standard normals keyed PER GLOBAL MEMBER INDEX
+    (fold_in(key, offset + i)), so a sharded ensemble draws exactly the
+    same noise as the unsharded one — sharded == unsharded to the bit,
+    not just in distribution (pinned in tests/test_shard_enkf.py)."""
+    idx = member_offset + jnp.arange(n_members)
+    keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(idx)
+    return jax.vmap(lambda k: jax.random.normal(k, (dim,), dtype=dtype))(keys)
+
+
+def _psum(x, axis_name):
+    return jax.lax.psum(x, axis_name) if axis_name is not None else x
+
+
+def _global_moments(ens: jax.Array, n_total: int, axis_name=None):
+    """Mean over the (possibly device-sharded) member axis + local
+    deviations; one tiny [n] all-reduce when axis_name is given."""
+    mean = _psum(jnp.sum(ens, axis=0), axis_name) / n_total
+    dev = ens - mean[None, :]
+    return mean, dev
+
+
 def _forecast(state: State, noise: Noise, fx: Callable, key, control,
-              inflation):
+              inflation, member_offset=0, n_total=None, axis_name=None):
     """Propagate every member through fx (+ process noise), return the
     forecast ensemble with inflated anomalies."""
     prop = jax.vmap((lambda s: fx(s, control)) if control is not None else fx)(
         state.ensemble
     )
     if key is not None:
-        z = jax.random.normal(key, prop.shape, dtype=prop.dtype)
+        z = _member_normals(key, prop.shape[0], prop.shape[1], prop.dtype,
+                            member_offset)
         prop = prop + z @ noise.sqrt_q.T
-    mean = jnp.mean(prop, axis=0)
-    dev = (prop - mean[None, :]) * inflation
-    return mean + dev, mean, dev
+    n_total = prop.shape[0] if n_total is None else n_total
+    mean, dev = _global_moments(prop, n_total, axis_name)
+    return mean + dev * inflation, mean, dev * inflation
 
 
 def _moments(ens: jax.Array):
@@ -135,7 +161,8 @@ def _moments(ens: jax.Array):
 @linalg.highp
 def step(noise: Noise, state: State, measurement, fx: Callable, hx: Callable,
          key: jax.Array, control=None, inflation=1.0, has=None,
-         loc_xy=None, loc_yy=None):
+         loc_xy=None, loc_yy=None, member_offset=0, n_total=None,
+         axis_name=None):
     """One stochastic-EnKF step (forecast + perturbed-obs analysis).
 
     The key drives both the process-noise draws and the observation
@@ -148,37 +175,40 @@ def step(noise: Noise, state: State, measurement, fx: Callable, hx: Callable,
     optional Schur-product localization tapers on the cross- and
     innovation-covariances (build with `gaspari_cohn`).
     """
-    n_ens = state.ensemble.shape[0]
+    n_ens = state.ensemble.shape[0] if n_total is None else n_total
     k_q, k_r = jax.random.split(key)
-    ens_f, x_pred, dev = _forecast(state, noise, fx, k_q, control, inflation)
-    p_pred = dev.T @ dev / (n_ens - 1)
+    ens_f, x_pred, dev = _forecast(state, noise, fx, k_q, control, inflation,
+                                   member_offset, n_total, axis_name)
+    p_pred = _psum(dev.T @ dev, axis_name) / (n_ens - 1)
 
-    ys = jax.vmap(hx)(ens_f)  # [N, p]
-    y_mean, y_dev = _moments(ys)
-    pxy = dev.T @ y_dev / (n_ens - 1)  # [n, p]
-    pyy = y_dev.T @ y_dev / (n_ens - 1) + noise.r  # [p, p]
+    ys = jax.vmap(hx)(ens_f)  # [N_local, p]
+    y_mean, y_dev = _global_moments(ys, n_ens, axis_name)
+    pxy = _psum(dev.T @ y_dev, axis_name) / (n_ens - 1)  # [n, p]
+    s_yy = _psum(y_dev.T @ y_dev, axis_name) / (n_ens - 1)
+    pyy = s_yy + noise.r  # [p, p]
     if loc_xy is not None:
         pxy = pxy * loc_xy
     if loc_yy is not None:
-        pyy = y_dev.T @ y_dev / (n_ens - 1) * loc_yy + noise.r
+        pyy = s_yy * loc_yy + noise.r
     k_gain = linalg.solve_psd(pyy, pxy.T).T  # [n, p]
 
     # Perturbed observations: each member assimilates y + v_i.  Center
     # the perturbations so the analysis mean is exact for any N.
-    v = jax.random.normal(k_r, ys.shape, dtype=ys.dtype) @ noise.sqrt_r.T
-    v = v - jnp.mean(v, axis=0, keepdims=True)
+    v = _member_normals(k_r, ys.shape[0], ys.shape[1], ys.dtype,
+                        member_offset) @ noise.sqrt_r.T
+    v = v - (_psum(jnp.sum(v, axis=0), axis_name) / n_ens)[None, :]
     innovation = measurement - y_mean
     if has is not None:
         k_gain = jnp.where(has, k_gain, jnp.zeros_like(k_gain))
         innovation = jnp.where(has, innovation, jnp.zeros_like(innovation))
     ens_a = ens_f + (innovation[None, :] + v - y_dev) @ k_gain.T
 
-    x, dev_a = _moments(ens_a)
+    x, dev_a = _global_moments(ens_a, n_ens, axis_name)
     est = Estimate(
         state=x,
         measurement=y_mean,
         innovation=innovation,
-        covariance=dev_a.T @ dev_a / (n_ens - 1),
+        covariance=_psum(dev_a.T @ dev_a, axis_name) / (n_ens - 1),
         pred_covariance=p_pred,
         gain=k_gain,
     )

@@ -156,3 +156,54 @@ def run(model: Model, state: State, measurements, fx: Callable, hx: Callable,
         return step(model, carry, meas, fx, hx, u, has)
 
     return jax.lax.scan(body, state, (measurements, controls, meas_masks))
+
+
+@linalg.highp
+def rts_smoother(model: Model, means, covs, fx: Callable, controls=None):
+    """Unscented Rauch-Tung-Striebel smoother (Särkkä 2008): given the
+    UKF's filtered moments (means [T, n], covs [T, n, n]) and the same
+    dynamics fx, runs the backward pass with unscented-transform
+    predicted/cross statistics instead of Jacobians:
+
+      G_k = C_k P_pred^{-1},   C_k = Σ_i wc_i (X_i - m_k)(f(X_i) - m_pred)^T
+      m_k^s = m_k + G_k (m^s_{k+1} - m_pred)
+      P_k^s = P_k + G_k (P^s_{k+1} - P_pred) G_k^T
+
+    Completes the smoothing tier across the nonlinear family (the
+    reference has no smoother beyond the Φ-inverse backmap,
+    hybrid.go:209-238); for linear fx this equals
+    smoothing.rts_smoother exactly (pinned in tests/test_ukf.py).
+    `controls` ([T, m]) aligns with the filter's inputs: controls[k+1]
+    drives the k -> k+1 transition.
+    """
+    n = means.shape[1]
+    _, wm, wc = _weights(n, model.params, means.dtype)
+
+    def body(carry, xs):
+        x_next, p_next = carry
+        x_k, p_k, u_next, is_last = xs
+        pts = sigma_points(x_k, p_k, model.params)
+        prop = jax.vmap(
+            (lambda s: fx(s, u_next)) if u_next is not None else fx
+        )(pts)
+        x_pred, p_pred, pdev = unscented_transform(prop, wm, wc, model.noise.q)
+        xdev = pts - x_k[None, :]
+        cross = jnp.einsum("i,ij,ik->jk", wc, xdev, pdev)  # [n, n]
+        g = linalg.solve_psd(p_pred, cross.T).T
+        x_sm = x_k + g @ (x_next - x_pred)
+        p_sm = linalg.sym(p_k + g @ (p_next - p_pred) @ g.T)
+        x_out = jnp.where(is_last, x_k, x_sm)
+        p_out = jnp.where(is_last, p_k, p_sm)
+        return (x_out, p_out), (x_out, p_out)
+
+    t = means.shape[0]
+    is_last = jnp.arange(t) == (t - 1)
+    u_next = None
+    if controls is not None:
+        # xs[k] smooths k against k+1: the transition uses controls[k+1].
+        u_next = jnp.concatenate([controls[1:], controls[-1:]], axis=0)
+    (_, _), (xs_sm, ps_sm) = jax.lax.scan(
+        body, (means[-1], covs[-1]), (means, covs, u_next, is_last),
+        reverse=True,
+    )
+    return xs_sm, ps_sm

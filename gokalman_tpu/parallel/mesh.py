@@ -186,3 +186,71 @@ def sharded_mc_chi_square(
         )
     )
     return fn(key, controls)
+
+
+def sharded_enkf_run(noise, x0, p0, n_ens: int, measurements, fx, hx, key,
+                     mesh: Mesh, controls=None, inflation: float = 1.0,
+                     meas_masks=None, loc_xy=None, loc_yy=None):
+    """Stochastic EnKF with the member axis sharded over the mesh.
+
+    The whole filter runs inside one shard_map: members stay resident
+    on their device for the entire scan; each analysis step all-reduces
+    only the tiny moment blocks (x-mean [n], y-moments [p]/[p,p],
+    cross-covariance [n,p], perturbation mean [p], posterior moment
+    sums [n,n]) over ICI.  Noise is keyed per GLOBAL member index
+    (filters.enkf._member_normals), so the result equals the unsharded
+    filters.enkf.run bit-for-bit (tests/test_shard_enkf.py).
+
+    The deterministic ETKF variant is intentionally NOT sharded: its
+    [N, N] ensemble-space transform mixes all members densely, which is
+    the wrong tool once the ensemble needs more than one chip — use the
+    stochastic form (or keep ETKF single-device).
+    """
+    from functools import partial
+
+    from ..filters import enkf
+
+    axis_names = mesh.axis_names
+    if len(axis_names) != 1:
+        raise ValueError("sharded_enkf_run expects a 1-D ensemble mesh")
+    axis = axis_names[0]
+    n_dev = int(np.prod(mesh.devices.shape))
+    if n_ens % n_dev:
+        raise ValueError(f"n_ens {n_ens} not divisible by {n_dev} devices")
+    local_n = n_ens // n_dev
+
+    x0 = jnp.asarray(x0)
+    p0 = jnp.asarray(p0)
+    chol0 = jnp.linalg.cholesky(p0)
+    t = measurements.shape[0]
+    # Key layout mirrors the unsharded path exactly:
+    #   k_init, k_run = split(key);  step keys = split(k_run, T)
+    # == enkf.new(..., key=k_init) + enkf.run(..., key=k_run).
+    init_key, run_key = jax.random.split(key)
+    step_keys = jax.random.split(run_key, t)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P()),
+        out_specs=(P(axis), P()),
+    )
+    def run_local(meas, ctrls, masks, skeys):
+        # Global member ids for this shard.
+        offset = jax.lax.axis_index(axis) * local_n
+        z = enkf._member_normals(init_key, local_n, x0.shape[0], x0.dtype,
+                                 offset)
+        ens = x0[None, :] + z @ chol0.T
+        state = enkf.State(ens, jnp.int32(0))
+
+        def body(carry, xs):
+            m, u, has, k = xs
+            return enkf.step(noise, carry, m, fx, hx, k, u, inflation, has,
+                             loc_xy, loc_yy, member_offset=offset,
+                             n_total=n_ens, axis_name=axis)
+
+        state, ests = jax.lax.scan(body, state, (meas, ctrls, masks, skeys))
+        return state.ensemble, ests
+
+    ensemble, ests = run_local(measurements, controls, meas_masks, step_keys)
+    return ensemble, ests

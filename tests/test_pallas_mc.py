@@ -195,3 +195,41 @@ def test_box_muller_statistics_on_tpu():
         assert abs(frac - expect) < tol, (thresh, frac, expect)
     # The 24-bit uniform floor must not produce duplicate spikes at 0.
     assert float((z == 0.0).mean()) < 1e-4
+
+
+def test_clt_generator_statistics_on_tpu():
+    """The fast_rng (popcount-CLT) generator's documented moments on
+    hardware: mean/var/skew exact, excess kurtosis -0.082, bounded
+    support — near-normal tail mass at 1/2 sigma."""
+    if jax.default_backend() in ("cpu",):
+        pytest.skip("hardware PRNG statistics need real TPU")
+    z = np.asarray(pallas_mc.sample_normals_pallas(
+        524_288, jnp.int32(11), generator="clt"))
+    n = z.size
+    assert np.isfinite(z).all()
+    se = 1.0 / np.sqrt(n)
+    assert abs(z.mean()) < 6 * se, z.mean()
+    assert abs(z.std() - 1.0) < 6 * se, z.std()
+    zc = z - z.mean()
+    skew = (zc**3).mean() / z.std() ** 3
+    kurt = (zc**4).mean() / z.std() ** 4 - 3.0
+    assert abs(skew) < 6 * np.sqrt(6 / n), skew
+    # Documented design value: -1/12.17 ~ -0.082.
+    assert abs(kurt - (-0.082)) < 6 * np.sqrt(24 / n) + 0.01, kurt
+    for thresh, expect, tol_extra in ((1.0, 0.31731, 0.01), (2.0, 0.04550, 0.005)):
+        frac = float((np.abs(z) > thresh).mean())
+        tol = 6 * np.sqrt(expect * (1 - expect) / n) + tol_extra
+        assert abs(frac - expect) < tol, (thresh, frac, expect)
+    # Bounded support: |z| can never exceed (12.5 + 0.5)/sqrt(6.083).
+    assert float(np.abs(z).max()) <= 5.1
+
+
+def test_fast_rng_kernel_compiles_interpret():
+    """fast_rng=True pipeline compiles and produces the documented
+    deterministic output under the interpreter's stubbed PRNG."""
+    model, state0 = _model6()
+    with pltpu.force_tpu_interpret_mode():
+        out = pallas_mc.mc_chi_square_pallas(
+            model, state0, 2048, 5, 0, tile=2048, fast_rng=True)
+    assert out.nees_means.shape == (5,)
+    assert bool(jnp.all(jnp.isfinite(out.stddev)))

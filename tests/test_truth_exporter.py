@@ -106,3 +106,48 @@ def test_csv_write_all(tmp_path):
     data = [l for l in lines if not l.startswith("#") and not l[0].isalpha()]
     assert len(data) == t
     assert data[0] == "1.000000,3.000000,-3.000000,1.000000,3.000000,-3.000000"
+
+
+def test_async_exporter_matches_sync(tmp_path):
+    """AsyncCSVExporter must produce byte-identical files to the
+    synchronous CSVExporter (modulo the timestamp comment lines), via
+    both per-estimate write() and bulk write_all()."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gokalman_tpu import exporter
+    from gokalman_tpu import noise as gn
+    from gokalman_tpu.filters import vanilla
+
+    f = jnp.array([[1.0, 0.1], [0.0, 1.0]])
+    h = jnp.array([[1.0, 0.0]])
+    model, st = vanilla.new(jnp.zeros(2), jnp.eye(2), f, None, h,
+                            gn.noiseless(0.01 * jnp.eye(2), jnp.eye(1)))
+    ys = jnp.asarray(np.random.default_rng(8).standard_normal((40, 1)))
+    _, ests = vanilla.run(model, st, measurements=ys)
+
+    def body(path):
+        return [l for l in open(path) if not l.startswith("#")]
+
+    with exporter.CSVExporter(["x", "v"], tmp_path, "sync.csv", 2.0) as e:
+        e.write_all(ests)
+    with exporter.AsyncCSVExporter(["x", "v"], tmp_path, "bulk.csv", 2.0) as e:
+        e.write_all(ests)
+    with exporter.AsyncCSVExporter(["x", "v"], tmp_path, "rows.csv", 2.0) as e:
+        for k in range(40):
+            import jax
+
+            e.write(jax.tree.map(lambda a: a[k], ests))
+    assert body(tmp_path / "bulk.csv") == body(tmp_path / "sync.csv")
+    assert body(tmp_path / "rows.csv") == body(tmp_path / "sync.csv")
+
+
+def test_async_exporter_closed_raises(tmp_path):
+    import pytest
+
+    from gokalman_tpu import exporter
+
+    e = exporter.AsyncCSVExporter(["x"], tmp_path, "c.csv", 2.0)
+    e.close()
+    with pytest.raises(RuntimeError):
+        e.write_all(None)

@@ -182,3 +182,68 @@ def test_run_with_measurement_gaps():
     # Gap steps only add Q; measurement steps subtract K S K^T.
     assert (np.diff(tr)[~m[1:]] > 0).all()
     assert float(np.abs(np.asarray(ests.innovation)[~m]).max()) == 0.0
+
+
+def test_urts_equals_linear_rts_on_linear_model():
+    """Unscented RTS == linear RTS when fx is linear (the unscented
+    transform is exact for affine maps)."""
+    import numpy as np
+
+    from gokalman_tpu.filters import smoothing
+
+    f = jnp.array([[1.0, 0.1], [0.0, 1.0]])
+    h = jnp.array([[1.0, 0.0]])
+    q = jnp.array([[1e-4, 0.0], [0.0, 1e-3]])
+    r = jnp.array([[0.05]])
+    noise = gn.awgn(q, r)
+    rng = np.random.default_rng(3)
+    ys = jnp.asarray(0.4 + 0.2 * rng.standard_normal((25, 1)))
+
+    model, st = ukf.new(jnp.array([0.2, -0.1]), jnp.eye(2), noise)
+    fx = lambda x: f @ x
+    hx = lambda x: h @ x
+    _, ests = ukf.run(model, st, ys, fx, hx)
+
+    xs_u, ps_u = ukf.rts_smoother(model, ests.state, ests.covariance, fx)
+    phis = jnp.broadcast_to(f, (25, 2, 2))
+    xs_l, ps_l = smoothing.rts_smoother(phis, q, ests.state, ests.covariance)
+    np.testing.assert_allclose(xs_u, xs_l, atol=1e-9)
+    np.testing.assert_allclose(ps_u, ps_l, atol=1e-9)
+
+
+def test_urts_beats_filter_on_nonlinear_track():
+    """Smoothed RMS must beat filtered RMS over a nonlinear arc."""
+    import numpy as np
+
+    dt = 0.1
+
+    def fx(x):
+        return jnp.array([x[0] + dt * x[1], x[1] - dt * 0.3 * x[0] ** 3])
+
+    def hx(x):
+        return jnp.array([jnp.sqrt(1.0 + x[0] ** 2)])
+
+    q = 1e-5 * jnp.eye(2)
+    r = jnp.array([[1e-3]])
+    noise = gn.awgn(q, r)
+
+    rng = np.random.default_rng(5)
+    xs = [jnp.array([1.2, -0.4])]
+    for _ in range(60):
+        xs.append(fx(xs[-1]))
+    truth = jnp.stack(xs[1:])
+    ys = jax.vmap(hx)(truth) + jnp.asarray(
+        rng.standard_normal((60, 1))) * jnp.sqrt(r[0, 0])
+
+    model, st = ukf.new(jnp.array([1.6, 0.0]),
+                        jnp.diag(jnp.array([0.5, 0.25])), noise)
+    _, ests = ukf.run(model, st, ys, fx, hx)
+    xs_s, ps_s = ukf.rts_smoother(model, ests.state, ests.covariance, fx)
+
+    rms_f = float(jnp.sqrt(jnp.mean((ests.state - truth) ** 2)))
+    rms_s = float(jnp.sqrt(jnp.mean((xs_s - truth) ** 2)))
+    assert rms_s < 0.9 * rms_f, (rms_s, rms_f)
+    # Covariances stay PSD-ish and bounded by the filtered ones on
+    # average (smoothing never increases uncertainty in trace).
+    assert float(jnp.mean(jnp.trace(ps_s, axis1=1, axis2=2))) <= float(
+        jnp.mean(jnp.trace(ests.covariance, axis1=1, axis2=2))) + 1e-12

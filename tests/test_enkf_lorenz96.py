@@ -1,0 +1,88 @@
+"""EnKF on Lorenz-96: the standard high-dimensional data-assimilation
+benchmark (n=40 chaotic state, fewer members than states).  Pins the
+classic result: with covariance localization + inflation a 24-member
+EnKF tracks the chaotic truth below observation noise; the same
+ensemble WITHOUT localization does far worse (spurious long-range
+correlations)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import gokalman_tpu as gk
+from gokalman_tpu.filters import enkf
+
+N_STATE = 40
+FORCING = 8.0
+DT = 0.05  # one assimilation window
+
+
+def l96_deriv(x):
+    return (jnp.roll(x, -1) - jnp.roll(x, 2)) * jnp.roll(x, 1) - x + FORCING
+
+
+def l96_step(x):
+    """One RK4 step of size DT (the per-cycle dynamics fx)."""
+    k1 = l96_deriv(x)
+    k2 = l96_deriv(x + 0.5 * DT * k1)
+    k3 = l96_deriv(x + 0.5 * DT * k2)
+    k4 = l96_deriv(x + DT * k3)
+    return x + (DT / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
+
+
+def _truth_and_obs(t_steps, key):
+    """Spin up onto the attractor, then generate truth + noisy obs of
+    every other state variable."""
+    x = jnp.full((N_STATE,), FORCING).at[0].add(0.01)
+    x = jax.lax.fori_loop(0, 400, lambda _, s: l96_step(s), x)
+
+    def body(s, _):
+        s = l96_step(s)
+        return s, s
+
+    _, truth = jax.lax.scan(body, x, None, length=t_steps)
+    h_idx = jnp.arange(0, N_STATE, 2)  # observe 20 of 40
+    clean = truth[:, h_idx]
+    noise = jax.random.normal(key, clean.shape, dtype=clean.dtype)
+    return truth, clean + noise, h_idx
+
+
+def test_localized_enkf_tracks_lorenz96():
+    t_steps = 300
+    truth, ys, h_idx = _truth_and_obs(t_steps, jax.random.PRNGKey(0))
+
+    p = h_idx.shape[0]
+    noise = gk.noise.awgn(jnp.zeros((N_STATE, N_STATE)), jnp.eye(p))
+    hx = lambda x: x[h_idx]
+
+    # Gaspari-Cohn tapers on the cyclic state-to-obs / obs-to-obs
+    # distances (half-width 4 grid points).
+    def cyc_dist(a, b):
+        d = jnp.abs(a[:, None] - b[None, :])
+        return jnp.minimum(d, N_STATE - d)
+
+    sites = jnp.arange(N_STATE, dtype=jnp.float64)
+    loc_xy = enkf.gaspari_cohn(cyc_dist(sites, sites[h_idx]), 4.0)
+    loc_yy = enkf.gaspari_cohn(cyc_dist(sites[h_idx], sites[h_idx]), 4.0)
+
+    x0 = truth[0] + 2.0 * jax.random.normal(jax.random.PRNGKey(1),
+                                            (N_STATE,), dtype=truth.dtype)
+    p0 = 4.0 * jnp.eye(N_STATE)
+
+    def run(loc):
+        s0 = enkf.new(x0, p0, 24, noise, key=jax.random.PRNGKey(2))
+        _, est = enkf.run(
+            noise, s0, ys, l96_step, hx, key=jax.random.PRNGKey(3),
+            inflation=1.08,
+            loc_xy=loc_xy if loc else None,
+            loc_yy=loc_yy if loc else None,
+        )
+        err = est.state - truth
+        return float(jnp.sqrt(jnp.mean(err[100:] ** 2)))
+
+    rmse_loc = run(True)
+    rmse_raw = run(False)
+    # Classic DA result: localized 24-member EnKF beats the observation
+    # noise (sigma=1); the unlocalized one is substantially worse.
+    assert rmse_loc < 0.8, rmse_loc
+    assert rmse_raw > 1.5 * rmse_loc, (rmse_raw, rmse_loc)

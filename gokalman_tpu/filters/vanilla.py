@@ -251,6 +251,76 @@ def run_gated(model: Model, state: State, measurements, controls=None,
     return final, ests, accepted
 
 
+@linalg.highp
+def robust_step(model: Model, state: State, measurement, control=None,
+                huber_k: float = 1.345, iters: int = 2):
+    """Huber M-estimator measurement update (Karlgaard-style IRLS):
+    per-component standardized residuals e_i = innov_i / sqrt(S_ii) get
+    weights w_i = min(1, k/|e_i|), and the measurement noise is
+    reweighted R' = diag(1/w) R diag(1/w) for a fixed (static) number
+    of iterations.
+
+    Inliers (|e_i| <= k for all i) give w = 1 and the step equals the
+    standard CKF step EXACTLY; an outlying component is smoothly
+    down-weighted instead of hard-rejected (contrast `gated_step`,
+    which drops the whole vector).  k = 1.345 is the classic 95%-
+    Gaussian-efficiency constant.  Returns (state, estimate,
+    weights [p]).
+
+    The standardization scale is the ORIGINAL innovation covariance
+    S = H P⁻ Hᵀ + R and stays fixed; the IRLS iterations refine the
+    residual point (re-standardizing against the inflated S' would
+    shrink |e| and undo the down-weighting).  Each iteration updates
+    the provisional state with the current weights and re-evaluates
+    the residual there, Gauss-Newton style.
+    """
+    x_pred, p_pred = predict(model, state, control)
+    y_hat = model.h @ state.x
+    innovation = measurement - model.h @ x_pred
+    r = model.noise.r
+    tiny = jnp.asarray(1e-30, r.dtype)
+
+    s0 = model.h @ p_pred @ model.h.T + r
+    sd = jnp.sqrt(jnp.maximum(jnp.diagonal(s0), tiny))
+    pht = p_pred @ model.h.T
+
+    resid = innovation
+    w = jnp.ones(r.shape[0], r.dtype)
+    for _ in range(max(iters, 1)):
+        w = jnp.minimum(1.0, huber_k / jnp.maximum(jnp.abs(resid / sd), tiny))
+        r_eff = r / (w[:, None] * w[None, :])
+        s = model.h @ p_pred @ model.h.T + r_eff
+        k_gain = linalg.solve_psd(s, pht.T).T
+        # Residual at the provisional posterior, vs the prediction.
+        resid = innovation - model.h @ (k_gain @ innovation)
+
+    x = x_pred + k_gain @ innovation
+    p = joseph_update(p_pred, k_gain, model.h, r_eff)
+    est = Estimate(
+        state=x,
+        measurement=y_hat,
+        innovation=innovation,
+        covariance=p,
+        pred_covariance=p_pred,
+        gain=k_gain,
+    )
+    return State(x, p, state.k + 1), est, w
+
+
+@linalg.highp
+def run_robust(model: Model, state: State, measurements, controls=None,
+               huber_k: float = 1.345, iters: int = 2):
+    """Scan driver for robust_step; also returns the weight trace [T, p]."""
+
+    def body(carry, xs):
+        meas, u = xs
+        st, est, w = robust_step(model, carry, meas, u, huber_k, iters)
+        return st, (est, w)
+
+    final, (ests, ws) = jax.lax.scan(body, state, (measurements, controls))
+    return final, ests, ws
+
+
 def steady_state(model: Model):
     """Steady-state (P^-, K, P^+) from the DARE (linalg.solve_dare).
 

@@ -39,6 +39,7 @@ from .filters import (
     imm,
     information,
     particle,
+    rbpf,
     sqrt,
     srif,
     srukf,
@@ -76,4 +77,5 @@ __all__ = [
     "enkf",
     "particle",
     "imm",
+    "rbpf",
 ]

@@ -8,6 +8,7 @@ from . import (
     imm,
     information,
     particle,
+    rbpf,
     smoothing,
     sqrt,
     srif,
@@ -18,5 +19,5 @@ from . import (
 
 __all__ = [
     "vanilla", "information", "sqrt", "srif", "hybrid", "batch", "ukf",
-    "srukf", "adaptive", "smoothing", "enkf", "particle", "imm",
+    "srukf", "adaptive", "smoothing", "enkf", "particle", "imm", "rbpf",
 ]

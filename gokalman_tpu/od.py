@@ -86,6 +86,9 @@ def run_hybrid_od(
     t0: float = 0.0,
     iekf_iters: int = 0,
     nis_gate: Optional[float] = None,
+    dmc_tau: Optional[float] = None,
+    dmc_sigma: Optional[float] = None,
+    dmc_w_p0: float = 1e-12,
 ) -> ODResult:
     """Hybrid CKF/EKF orbit determination over a measurement stream.
 
@@ -110,26 +113,92 @@ def run_hybrid_od(
     normalized innovation squared exceeds the gate are rejected (the
     step degrades to pure prediction) — protection against corrupted
     observations that the reference can only log via IsWithinNσ.
+
+    `dmc_tau`/`dmc_sigma` enable dynamic model compensation (beyond the
+    reference; Tapley/Schutz/Born §4.9 DMC): the state is augmented
+    with a first-order Gauss-Markov unmodeled acceleration w
+    (ẇ = -w/τ + u, u ~ N(0, σ² I)), so mismodeled dynamics are
+    *estimated* rather than merely covered by SNC's white noise.  The
+    discrete 9x9 process noise comes from the exact LTI Van Loan
+    solution of the triple-integrator + GM chain; the station
+    measurement Jacobian gets zero w-columns.  Incompatible with
+    `snc_mask` (pick one compensation scheme).  `dmc_w_p0` is the
+    initial variance of each w component.  The returned states and
+    covariances are 9-dimensional (r, v, w).
     """
     x0_ref = jnp.asarray(x0_ref)
     dtype = x0_ref.dtype
     steps = meas.obs.shape[0]
-    eom = functools.partial(gravity.eom, degree=degree)
-    phi_flow = integrators.flow(eom, dt, method, substeps)
-
-    model, hstate0 = hybrid.new(jnp.zeros(6, dtype), jnp.asarray(p0), noise, 2)
-    # SNC needs the 3x3 acceleration PSD as Q (Γ is 6x3); without a mask
-    # the ΓQΓ^T term is compiled out entirely (hybrid.go:117-123).
+    use_dmc = dmc_tau is not None
     use_snc = snc_mask is not None
-    if use_snc and noise.q.shape != (3, 3):
-        raise ValueError("SNC requires noise.q to be the 3x3 acceleration PSD")
-    gamma = snc_gamma(dt, dtype) if use_snc else None
+    if use_dmc and use_snc:
+        raise ValueError("DMC and SNC are alternative compensation schemes")
+    if use_dmc and snc_ric:
+        raise ValueError("snc_ric applies to SNC, not DMC")
+    if use_dmc and dmc_sigma is None:
+        raise ValueError("DMC requires dmc_sigma (driving-noise intensity)")
+
+    if use_dmc:
+        nstate = 9
+        base_eom = functools.partial(gravity.eom, degree=degree)
+
+        def eom(x):
+            pv = base_eom(x[:6])
+            acc = pv[3:6] + x[6:9]  # unmodeled acceleration estimate
+            wdot = -x[6:9] / dmc_tau
+            return jnp.concatenate([pv[:3], acc, wdot])
+
+        # Exact discrete Q for the LTI chain r'' = w, w' = -w/τ + u.
+        from . import c2d
+
+        i3 = jnp.eye(3, dtype=dtype)
+        z3 = jnp.zeros((3, 3), dtype)
+        a_lti = jnp.block([
+            [z3, i3, z3], [z3, z3, i3], [z3, z3, -i3 / dmc_tau],
+        ])
+        gamma_u = jnp.concatenate([z3, z3, i3], axis=0)
+        _, q_dmc, _ = c2d.van_loan(a_lti, gamma_u, dmc_sigma**2 * i3, dt,
+                                   check_nyquist=False)
+        noise = noise._replace(q=q_dmc.astype(dtype))
+        x0_ref = jnp.concatenate([x0_ref, jnp.zeros(3, dtype)])
+        p0 = jnp.asarray(p0)
+        if p0.shape == (6, 6):
+            p0 = jnp.block([
+                [p0, jnp.zeros((6, 3), dtype)],
+                [jnp.zeros((3, 6), dtype), dmc_w_p0 * i3],
+            ])
+        gamma = jnp.eye(9, dtype=dtype)  # Q enters each step via "SNC"
+        snc_mask = jnp.ones(steps, bool)
+    else:
+        nstate = 6
+        eom = functools.partial(gravity.eom, degree=degree)
+        # SNC needs the 3x3 acceleration PSD as Q (Γ is 6x3); without a
+        # mask the ΓQΓ^T term is compiled out (hybrid.go:117-123).
+        if use_snc and noise.q.shape != (3, 3):
+            raise ValueError(
+                "SNC requires noise.q to be the 3x3 acceleration PSD"
+            )
+        gamma = snc_gamma(dt, dtype) if use_snc else None
+
+    phi_flow = integrators.flow(eom, dt, method, substeps)
+    model, hstate0 = hybrid.new(jnp.zeros(nstate, dtype), jnp.asarray(p0),
+                                noise, 2)
     times = t0 + dt * jnp.arange(1, steps + 1, dtype=dtype)
 
     ekf_mask = jnp.zeros(steps, bool) if ekf_mask is None else ekf_mask
-    snc_mask = jnp.zeros(steps, bool) if snc_mask is None else snc_mask
-    if not use_snc:
-        snc_mask = None
+    if not use_dmc:
+        snc_mask = jnp.zeros(steps, bool) if snc_mask is None else snc_mask
+        if not use_snc:
+            snc_mask = None
+
+    def computed_obs(x_full, theta, idx, has):
+        obs, ht = _computed_obs(stations_list, x_full[:6], theta, idx, has)
+        if nstate > 6:
+            ht = jnp.concatenate(
+                [ht, jnp.zeros(ht.shape[:1] + (nstate - 6,), ht.dtype)],
+                axis=1,
+            )
+        return obs, ht
 
     def body(carry, xs):
         x_ref, hstate = carry
@@ -151,7 +220,7 @@ def run_hybrid_od(
         hstate = hstate._replace(x=hstate.x - pre)
         x_ref, stm = integrators.x_and_jac(phi_flow, x_ref)
         theta = theta0 + c.EARTH_ROTATION_RATE * t
-        comp_obs, htilde = _computed_obs(stations_list, x_ref, theta, idx, has)
+        comp_obs, htilde = computed_obs(x_ref, theta, idx, has)
         accept = jnp.asarray(True)
         if nis_gate is not None:
             # CKF-form innovation (in EKF mode the prior deviation is
@@ -179,7 +248,7 @@ def run_hybrid_od(
             xr = x_ref  # capture post-propagation reference
 
             def obs_fn(dev):
-                return _computed_obs(stations_list, xr + dev, theta, idx, has)
+                return computed_obs(xr + dev, theta, idx, has)
 
             # lax.cond, not select: measurement steps are sparse on an
             # OD arc (~5%), so the Gauss-Newton iterations only execute
@@ -386,8 +455,9 @@ def run_batch_od(
 def rms_errors(result: ODResult, truth_states, tail: float = 0.5):
     """Position/velocity RMS of the estimation error over the last
     `tail` fraction of the arc (the srif_test.go:331-340 gate)."""
-    err = result.est_states - jnp.asarray(truth_states)
+    # est_states may carry DMC's extra w components; compare PV only.
+    err = result.est_states[:, :6] - jnp.asarray(truth_states)[:, :6]
     start = int(err.shape[0] * (1.0 - tail))
     pos = jnp.sqrt(jnp.mean(jnp.sum(err[start:, :3] ** 2, axis=1)))
-    vel = jnp.sqrt(jnp.mean(jnp.sum(err[start:, 3:] ** 2, axis=1)))
+    vel = jnp.sqrt(jnp.mean(jnp.sum(err[start:, 3:6] ** 2, axis=1)))
     return pos, vel

@@ -300,6 +300,12 @@ def run(noise: Noise, state: State, measurements, fx: Callable, hx: Callable,
             return step(noise, carry, meas, fx, hx, k, u, inflation, has,
                         loc_xy, loc_yy)
     elif method == "etkf":
+        if loc_xy is not None or loc_yy is not None:
+            raise ValueError(
+                "localization tapers apply to the stochastic EnKF only; "
+                "the ETKF transform has no localized form here"
+            )
+
         def body(carry, xs):
             meas, u, has, k = xs
             return step_etkf(noise, carry, meas, fx, hx, k, u, inflation, has)

@@ -150,7 +150,11 @@ def step(state: State, measurement, propagate: Callable, loglik: Callable,
     w = jnp.exp(lw)
     mean = w @ pts
     dev = pts - mean[None, :]
-    cov = (dev * w[:, None]).T @ dev / (1.0 - jnp.sum(w**2))  # unbiased
+    # Unbiased weighted covariance; the divisor is guarded against the
+    # fully-degenerate case (all weight on one particle -> divisor 0).
+    cov = (dev * w[:, None]).T @ dev / jnp.maximum(
+        1.0 - jnp.sum(w**2), 1e-12
+    )
     ess = effective_sample_size(lw)
 
     idx = systematic_resample_indices(lw, k_res)

@@ -110,8 +110,10 @@ def step(model: Model, state: State, measurement, f_eta: Callable,
     ze = jax.random.normal(k_prop, state.etas.shape, state.etas.dtype)
     etas = jax.vmap(f_eta)(state.etas) + ze @ model.sqrt_q_eta.T
 
-    # 2. Per-particle KF time update for z.
-    zs_pred = state.zs @ model.f_mat.T + jax.vmap(g_eta)(etas)  # [N, nz]
+    # 2. Per-particle KF time update for z.  The documented model is
+    # z_{k+1} = F z_k + g(eta_k): g is evaluated at the PRE-propagation
+    # nonlinear substate, matching f_eta's input.
+    zs_pred = state.zs @ model.f_mat.T + jax.vmap(g_eta)(state.etas)
     ps_pred = jnp.einsum("ij,njk,lk->nil", model.f_mat, state.ps,
                          model.f_mat) + model.q_z[None]
 
@@ -157,9 +159,11 @@ def step(model: Model, state: State, measurement, f_eta: Callable,
     )
     z_mean = w @ zs_new
     z_dev = zs_new - z_mean[None, :]
+    # Same unbiased normalization as eta_cov so the two covariance
+    # blocks of one Estimate are mutually consistent.
     z_cov = jnp.einsum("n,nij->ij", w, ps_new) + (
         (z_dev * w[:, None]).T @ z_dev
-    )
+    ) / jnp.maximum(1.0 - jnp.sum(w**2), 1e-12)
     ess = effective_sample_size(lw)
 
     # 5. Branch-free systematic resampling of the JOINT particle.

@@ -233,3 +233,26 @@ def test_fast_rng_kernel_compiles_interpret():
             model, state0, 2048, 5, 0, tile=2048, fast_rng=True)
     assert out.nees_means.shape == (5,)
     assert bool(jnp.all(jnp.isfinite(out.stddev)))
+
+
+def test_chunked_kernel_matches_unchunked_interpret():
+    """chunk>0 is a duplicated schedule of the step body: pin it to the
+    canonical kernel in interpret mode (stubbed RNG -> deterministic)
+    so edits to one body can't silently diverge from the other."""
+    model, state0 = _model6()
+    with pltpu.force_tpu_interpret_mode():
+        a = pallas_mc.mc_chi_square_pallas(model, state0, 2048, 6, 0,
+                                           tile=2048)
+        b = pallas_mc.mc_chi_square_pallas(model, state0, 2048, 6, 0,
+                                           tile=2048, chunk=128)
+    for name in ("nees_means", "nis_means", "mean"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(b, name)), np.asarray(getattr(a, name)),
+            rtol=2e-5, atol=1e-6,
+        )
+    # With the stubbed (all-zero) RNG the ensemble is degenerate, so the
+    # stddev is pure f32 cancellation noise in x2sum - S*mean^2 and only
+    # its magnitude (near zero) is meaningful across summation orders.
+    np.testing.assert_allclose(
+        np.asarray(b.stddev), np.asarray(a.stddev), atol=5e-3
+    )

@@ -79,3 +79,52 @@ def rts_smoother(phis, q, means, covs):
         body, init, (phi_next, means, covs, is_last), reverse=True
     )
     return xs_sm, ps_sm
+
+
+@linalg.highp
+def fixed_lag_smoother(phis, q, means, covs, lag: int):
+    """Fixed-lag smoother: x_{k | k+lag} for every k — the streaming
+    compromise between filtering (lag 0) and full RTS smoothing
+    (lag >= T): each estimate is refined by exactly `lag` future
+    measurements, the latency a real-time consumer can afford.
+
+    Implemented as a lag-step RTS backward recursion started from the
+    filtered estimate at min(k+lag, T-1), vmapped over k (O(T·lag)
+    total work, fully parallel over k on the TPU — no sequential
+    dependence between output indices).  For k+lag beyond the end of
+    the arc the result equals the full RTS smoother at k.
+
+    Inputs match rts_smoother: per-step STMs `phis` ([T, n, n], phis[k]
+    maps k-1 -> k), process noise q, filtered means/covs.
+    """
+    q = jnp.asarray(q)
+    t = means.shape[0]
+    if lag <= 0:
+        return means, covs
+
+    def smooth_at(k):
+        end = jnp.minimum(k + lag, t - 1)
+
+        def body(i, carry):
+            x_n, p_n = carry
+            j = k + lag - i  # smoothing index j-1 from "next" index j
+            valid = (j <= end) & (j >= k + 1)
+            jc = jnp.clip(j, 1, t - 1)
+            phi = phis[jc]
+            x_f = means[jc - 1]
+            p_f = covs[jc - 1]
+            p_pred = phi @ p_f @ phi.T + q
+            c = linalg.solve_psd(p_pred, phi @ p_f.T).T
+            x_s = x_f + c @ (x_n - phi @ x_f)
+            p_s = linalg.sym(p_f + c @ (p_n - p_pred) @ c.T)
+            return (
+                jnp.where(valid, x_s, x_n),
+                jnp.where(valid, p_s, p_n),
+            )
+
+        x0 = means[end]
+        p0 = covs[end]
+        return jax.lax.fori_loop(0, lag, body, (x0, p0))
+
+    xs, ps = jax.vmap(smooth_at)(jnp.arange(t))
+    return xs, ps

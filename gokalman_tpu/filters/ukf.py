@@ -207,3 +207,15 @@ def rts_smoother(model: Model, means, covs, fx: Callable, controls=None):
         reverse=True,
     )
     return xs_sm, ps_sm
+
+
+def cubature_params() -> Params:
+    """Parameters that make the scaled unscented transform the
+    third-degree spherical-radial cubature rule (Arasaratnam & Haykin
+    2009 CKF): alpha=1, kappa=0 give lambda=0 so the center point's
+    mean weight vanishes and the 2n symmetric points get weight 1/(2n)
+    at radius sqrt(n); beta=0 zeroes the center covariance weight too.
+    Use as `ukf.new(x0, p0, noise, **ukf.cubature_params()._asdict())`
+    or pass to Params directly — every UKF entry point then *is* the
+    cubature Kalman filter."""
+    return Params(alpha=1.0, beta=0.0, kappa=0.0)

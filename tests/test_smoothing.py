@@ -160,3 +160,44 @@ def test_hybrid_rts_on_snc_arc_beats_filter():
     err_s = np.sqrt(((np.asarray(sm.state) - truth) ** 2).sum(1)).mean()
     assert err_s <= err_f * 1.02, (err_s, err_f)
     assert np.isfinite(np.asarray(sm.covariance)).all()
+
+
+def test_fixed_lag_smoother_brackets_filter_and_rts():
+    """lag=0 -> the filter; lag>=T -> the full RTS smoother; a finite
+    lag equals the full RTS run on the correspondingly truncated data."""
+    f = jnp.array([[1.0, 0.1], [0.0, 1.0]])
+    h = jnp.array([[1.0, 0.0]])
+    q = jnp.diag(jnp.array([1e-4, 1e-3]))
+    r = jnp.array([[0.05]])
+    rng = np.random.default_rng(0)
+    ys = jnp.asarray(0.3 * rng.standard_normal((20, 1)))
+    model, st = vanilla.new(jnp.zeros(2), jnp.eye(2), f, None, h,
+                            gn.noiseless(q, r))
+    _, ests = vanilla.run(model, st, measurements=ys)
+    t = 20
+    phis = jnp.broadcast_to(f, (t, 2, 2))
+
+    x0l, p0l = smoothing.fixed_lag_smoother(phis, q, ests.state,
+                                            ests.covariance, 0)
+    np.testing.assert_array_equal(x0l, ests.state)
+
+    x_full, p_full = smoothing.rts_smoother(phis, q, ests.state,
+                                            ests.covariance)
+    x_inf, p_inf = smoothing.fixed_lag_smoother(phis, q, ests.state,
+                                                ests.covariance, t)
+    np.testing.assert_allclose(x_inf, x_full, atol=1e-10)
+    np.testing.assert_allclose(p_inf, p_full, atol=1e-10)
+
+    lag = 4
+    xl, pl = smoothing.fixed_lag_smoother(phis, q, ests.state,
+                                          ests.covariance, lag)
+    for k in (0, 3, 9, 14):
+        xr, pr = smoothing.rts_smoother(
+            phis[: k + lag + 1], q,
+            ests.state[: k + lag + 1], ests.covariance[: k + lag + 1],
+        )
+        np.testing.assert_allclose(xl[k], xr[k], atol=1e-10)
+        np.testing.assert_allclose(pl[k], pr[k], atol=1e-10)
+    # Monotone improvement: lag-4 covariance trace between filter & RTS.
+    tr = lambda p: float(jnp.mean(jnp.trace(p, axis1=1, axis2=2)))
+    assert tr(p_full) <= tr(pl) <= tr(ests.covariance) + 1e-12

@@ -247,3 +247,47 @@ def test_urts_beats_filter_on_nonlinear_track():
     # average (smoothing never increases uncertainty in trace).
     assert float(jnp.mean(jnp.trace(ps_s, axis1=1, axis2=2))) <= float(
         jnp.mean(jnp.trace(ests.covariance, axis1=1, axis2=2))) + 1e-12
+
+
+def test_cubature_params_reproduce_spherical_radial_rule():
+    """UKF with cubature_params == the third-degree spherical-radial
+    rule: zero center weights, 2n points at sqrt(n)*columns, uniform
+    1/(2n) weights; and the resulting filter propagates moments of a
+    linear system exactly (same as any valid rule)."""
+    import numpy as np
+
+    from gokalman_tpu.filters.ukf import (
+        Params, _weights, cubature_params, sigma_points,
+    )
+
+    n = 3
+    prm = cubature_params()
+    lam, wm, wc = _weights(n, prm, jnp.float64)
+    assert lam == 0.0
+    np.testing.assert_allclose(wm[0], 0.0, atol=1e-15)
+    np.testing.assert_allclose(wc[0], 0.0, atol=1e-15)
+    np.testing.assert_allclose(wm[1:], 1.0 / (2 * n), atol=1e-15)
+    np.testing.assert_allclose(wc[1:], 1.0 / (2 * n), atol=1e-15)
+
+    p = jnp.diag(jnp.array([4.0, 1.0, 0.25]))
+    pts = sigma_points(jnp.zeros(n), p, prm)
+    # Non-center points sit at +- sqrt(n) * chol(P) columns.
+    np.testing.assert_allclose(
+        pts[1:4], jnp.sqrt(float(n)) * jnp.linalg.cholesky(p).T, atol=1e-12
+    )
+
+    # The cubature-parameterized filter equals the exact KF on a linear
+    # model (moment exactness of the rule).
+    f = jnp.array([[1.0, 0.1], [0.0, 1.0]])
+    h = jnp.array([[1.0, 0.0]])
+    q = jnp.diag(jnp.array([1e-4, 1e-3]))
+    r = jnp.array([[0.05]])
+    noise = gn.noiseless(q, r)
+    ys = jnp.asarray(np.random.default_rng(2).standard_normal((15, 1)))
+    model, st = ukf.new(jnp.zeros(2), jnp.eye(2), noise,
+                        **cubature_params()._asdict())
+    _, u_est = ukf.run(model, st, ys, lambda x: f @ x, lambda x: h @ x)
+    vm, vst = vanilla.new(jnp.zeros(2), jnp.eye(2), f, None, h, noise)
+    _, kf_est = vanilla.run(vm, vst, measurements=ys)
+    np.testing.assert_allclose(u_est.state, kf_est.state, atol=1e-9)
+    np.testing.assert_allclose(u_est.covariance, kf_est.covariance, atol=1e-9)

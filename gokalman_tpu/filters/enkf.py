@@ -177,6 +177,11 @@ def step(noise: Noise, state: State, measurement, fx: Callable, hx: Callable,
     """
     n_ens = state.ensemble.shape[0] if n_total is None else n_total
     k_q, k_r = jax.random.split(key)
+    if has is not None:
+        # Inflation is per ASSIMILATION, not per forecast step: on a
+        # sparse-measurement scan (the OD arcs), inflating every masked
+        # step would compound catastrophically (1.02^2160 ~ 1e18).
+        inflation = jnp.where(has, inflation, 1.0)
     ens_f, x_pred, dev = _forecast(state, noise, fx, k_q, control, inflation,
                                    member_offset, n_total, axis_name)
     p_pred = _psum(dev.T @ dev, axis_name) / (n_ens - 1)

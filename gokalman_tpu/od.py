@@ -384,6 +384,69 @@ def run_ukf_od(
 
 
 @linalg.highp
+def run_enkf_od(
+    x0_ref,
+    p0,
+    noise,
+    meas: MeasurementSet,
+    dt: float,
+    key,
+    n_ens: int = 64,
+    theta0: float = 0.0,
+    stations_list=(),
+    degree: int = 2,
+    method: str = "rk4",
+    substeps: int = 1,
+    t0: float = 0.0,
+    inflation: float = 1.0,
+) -> ODResult:
+    """Ensemble (stochastic EnKF) orbit determination.
+
+    Like run_ukf_od, fully derivative-free: no reference trajectory, no
+    STM, no Jacobians — N ensemble members are integrated through the
+    orbital dynamics and the station measurement map directly, and the
+    perturbed-observation analysis replaces the linearized update.
+    Useful when the state is later augmented beyond what sigma points
+    cover economically, and as an independent cross-check on the
+    CKF/UKF arcs.  `key` drives the initial spread, process-noise
+    draws, and observation perturbations (deterministic given the key).
+    """
+    from .filters import enkf
+
+    x0_ref = jnp.asarray(x0_ref)
+    dtype = x0_ref.dtype
+    steps = meas.obs.shape[0]
+    eom = functools.partial(gravity.eom, degree=degree)
+    fx = integrators.flow(eom, dt, method, substeps)
+    times = t0 + dt * jnp.arange(1, steps + 1, dtype=dtype)
+
+    k_init, k_run = jax.random.split(jnp.asarray(key))
+    state0 = enkf.new(x0_ref, jnp.asarray(p0), n_ens, noise, key=k_init)
+    step_keys = jax.random.split(k_run, steps)
+
+    def body(carry, xs):
+        estate = carry
+        real_obs, idx, has, t, k = xs
+        theta = theta0 + c.EARTH_ROTATION_RATE * t
+
+        def hx(x):
+            obs = jnp.stack(
+                [st.range_range_rate(s, x, theta) for s in stations_list]
+            )
+            return obs[jnp.maximum(idx, 0)]
+
+        estate, est = enkf.step(noise, estate, real_obs, fx, hx, k,
+                                inflation=inflation, has=has)
+        out = (est.state, est.state, est.covariance, est.innovation,
+               est.state, est)
+        return estate, out
+
+    xs = (meas.obs, meas.station_idx, meas.has_meas, times, step_keys)
+    _, (full, dev, cov, innov, refs, ests) = jax.lax.scan(body, state0, xs)
+    return ODResult(full, dev, cov, innov, refs, meas.has_meas, ests)
+
+
+@linalg.highp
 def run_batch_od(
     x0_ref,
     noise,

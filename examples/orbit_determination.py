@@ -34,6 +34,7 @@ from gokalman_tpu.dynamics.propagate import MeasurementSet
 
 
 def main(outdir="."):
+    os.makedirs(outdir, exist_ok=True)
     # Truth orbit: 7000 km LEO (the srif_test.go:73 scenario).
     r, v = elements.oe_to_rv(
         7000.0, 0.001, jnp.deg2rad(30.0), jnp.deg2rad(80.0), jnp.deg2rad(40.0), 0.0

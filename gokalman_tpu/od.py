@@ -149,17 +149,29 @@ def run_hybrid_od(
             return jnp.concatenate([pv[:3], acc, wdot])
 
         # Exact discrete Q for the LTI chain r'' = w, w' = -w/τ + u.
-        from . import c2d
+        # Computed on the HOST at trace time (all inputs are static
+        # config): the Van Loan expm would otherwise lower to an f64
+        # LuDecomposition inside the jitted program, which the TPU x64
+        # path does not implement (CLAUDE.md "no f64 LU" quirk).
+        import numpy as _np
+        import scipy.linalg as _sla
 
         i3 = jnp.eye(3, dtype=dtype)
-        z3 = jnp.zeros((3, 3), dtype)
-        a_lti = jnp.block([
-            [z3, i3, z3], [z3, z3, i3], [z3, z3, -i3 / dmc_tau],
+        i3n = _np.eye(3)
+        z3n = _np.zeros((3, 3))
+        a_lti = _np.block([
+            [z3n, i3n, z3n], [z3n, z3n, i3n], [z3n, z3n, -i3n / dmc_tau],
         ])
-        gamma_u = jnp.concatenate([z3, z3, i3], axis=0)
-        _, q_dmc, _ = c2d.van_loan(a_lti, gamma_u, dmc_sigma**2 * i3, dt,
-                                   check_nyquist=False)
-        noise = noise._replace(q=q_dmc.astype(dtype))
+        gamma_u = _np.concatenate([z3n, z3n, i3n], axis=0)
+        gwg = gamma_u @ (dmc_sigma**2 * i3n) @ gamma_u.T * dt
+        m9 = _np.block([
+            [-a_lti * dt, gwg], [_np.zeros((9, 9)), a_lti.T * dt],
+        ])
+        em = _sla.expm(m9)
+        f_lti = em[9:, 9:].T
+        q_dmc = f_lti @ em[:9, 9:]
+        q_dmc = 0.5 * (q_dmc + q_dmc.T)
+        noise = noise._replace(q=jnp.asarray(q_dmc, dtype))
         x0_ref = jnp.concatenate([x0_ref, jnp.zeros(3, dtype)])
         p0 = jnp.asarray(p0)
         if p0.shape == (6, 6):

@@ -217,7 +217,7 @@ def main(steps=2000):
                                 with_stm=False)
     ms3 = propagate.generate_measurements(s["sts"], traj3)
     has3 = np.asarray(ms3.has_meas)
-    f3 = int(np.argmax(has3))
+    f3 = max(int(np.argmax(has3)), 1)  # guard f3-1 against index wrap
     sl3 = slice(f3, min(f3 + steps_arr, 8640))
     ms3c = MeasurementSet(ms3.obs[sl3], ms3.htildes[sl3], ms3.has_meas[sl3],
                           ms3.station_idx[sl3])

@@ -52,3 +52,27 @@ def van_loan(a, gamma, w, dt: float, check_nyquist: bool = True):
     q = 0.5 * (q + q.T)
     ok = nyquist_ok(a, dt) if check_nyquist else True
     return f, q, ok
+
+
+def van_loan_host(a, gamma, w, dt: float):
+    """Host-side (numpy/scipy) Van Loan: identical block algebra to
+    `van_loan`, returning plain numpy (F, Q).
+
+    For trace-time/static-config discretization (e.g. the OD harness's
+    DMC process noise): inside a jitted program the f64 expm lowers to
+    an LuDecomposition the TPU x64 path does not implement, so when all
+    inputs are static Python/numpy config, discretize on the host and
+    embed the result as a constant instead.
+    """
+    import scipy.linalg as sla
+
+    a = np.asarray(a, dtype=np.float64)
+    gamma = np.asarray(gamma, dtype=np.float64)
+    w = np.asarray(w, dtype=np.float64)
+    n = a.shape[0]
+    gwg = gamma @ w @ gamma.T * dt
+    m = np.block([[-a * dt, gwg], [np.zeros_like(a), a.T * dt]])
+    em = sla.expm(m)
+    f = em[n:, n:].T
+    q = f @ em[:n, n:]
+    return f, 0.5 * (q + q.T)

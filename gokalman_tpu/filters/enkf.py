@@ -238,6 +238,11 @@ def step_etkf(noise: Noise, state: State, measurement, fx: Callable,
     full-rank ensemble (tests/test_enkf.py pins this to 1e-8).
     """
     n_ens = state.ensemble.shape[0]
+    if has is not None:
+        # Per-ASSIMILATION inflation, as in `step`: masked (pure
+        # forecast) steps must not inflate, or a sparse-measurement
+        # scan compounds it catastrophically.
+        inflation = jnp.where(has, inflation, 1.0)
     ens_f, x_pred, dev = _forecast(state, noise, fx, key, control, inflation)
     p_pred = dev.T @ dev / (n_ens - 1)
 

@@ -83,24 +83,34 @@ def rts_smoother(phis, q, means, covs):
 
 @linalg.highp
 def fixed_lag_smoother(phis, q, means, covs, lag: int):
-    """Fixed-lag smoother: x_{k | k+lag} for every k — the streaming
-    compromise between filtering (lag 0) and full RTS smoothing
-    (lag >= T): each estimate is refined by exactly `lag` future
-    measurements, the latency a real-time consumer can afford.
+    """Fixed-lag smoother: x_{k | k+lag} for every k, the streaming
+    compromise between filtering (lag 0) and full RTS (lag >= T) —
+    each estimate is refined by exactly `lag` future measurements, the
+    latency a real-time consumer can afford.  Inputs match
+    rts_smoother: STMs `phis` ([T, n, n], phis[k] maps k-1 -> k),
+    process noise q, filtered means/covs.
 
-    Implemented as a lag-step RTS backward recursion started from the
-    filtered estimate at min(k+lag, T-1), vmapped over k (O(T·lag)
-    total work, fully parallel over k on the TPU — no sequential
-    dependence between output indices).  For k+lag beyond the end of
-    the arc the result equals the full RTS smoother at k.
-
-    Inputs match rts_smoother: per-step STMs `phis` ([T, n, n], phis[k]
-    maps k-1 -> k), process noise q, filtered means/covs.
+    Implementation: the per-step smoother gains C_j and predicted
+    covariances depend only on j, so they are computed ONCE (one vmap
+    over j) and each output index k runs a lag-step backward recursion
+    of pure matmuls from the filtered estimate at min(k+lag, T-1),
+    vmapped over k — O(T) solves + O(T·lag) matmuls, fully parallel
+    over output indices.  For k+lag beyond the end of the arc the
+    result equals the full RTS smoother at k.
     """
     q = jnp.asarray(q)
     t = means.shape[0]
     if lag <= 0:
         return means, covs
+
+    def gain(j):
+        phi = phis[j]
+        p_f = covs[j - 1]
+        p_pred = phi @ p_f @ phi.T + q
+        c = linalg.solve_psd(p_pred, phi @ p_f.T).T
+        return c, p_pred
+
+    cs, p_preds = jax.vmap(gain)(jnp.arange(1, t))  # entry i covers j=i+1
 
     def smooth_at(k):
         end = jnp.minimum(k + lag, t - 1)
@@ -113,8 +123,8 @@ def fixed_lag_smoother(phis, q, means, covs, lag: int):
             phi = phis[jc]
             x_f = means[jc - 1]
             p_f = covs[jc - 1]
-            p_pred = phi @ p_f @ phi.T + q
-            c = linalg.solve_psd(p_pred, phi @ p_f.T).T
+            c = cs[jc - 1]
+            p_pred = p_preds[jc - 1]
             x_s = x_f + c @ (x_n - phi @ x_f)
             p_s = linalg.sym(p_f + c @ (p_n - p_pred) @ c.T)
             return (

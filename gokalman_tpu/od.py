@@ -149,12 +149,13 @@ def run_hybrid_od(
             return jnp.concatenate([pv[:3], acc, wdot])
 
         # Exact discrete Q for the LTI chain r'' = w, w' = -w/τ + u.
-        # Computed on the HOST at trace time (all inputs are static
-        # config): the Van Loan expm would otherwise lower to an f64
-        # LuDecomposition inside the jitted program, which the TPU x64
-        # path does not implement (CLAUDE.md "no f64 LU" quirk).
+        # Discretized on the HOST at trace time (all inputs are static
+        # config; the in-graph f64 expm would need an LuDecomposition
+        # the TPU x64 path lacks) — c2d.van_loan_host shares the block
+        # algebra with the jittable c2d.van_loan.
         import numpy as _np
-        import scipy.linalg as _sla
+
+        from . import c2d
 
         i3 = jnp.eye(3, dtype=dtype)
         i3n = _np.eye(3)
@@ -163,14 +164,7 @@ def run_hybrid_od(
             [z3n, i3n, z3n], [z3n, z3n, i3n], [z3n, z3n, -i3n / dmc_tau],
         ])
         gamma_u = _np.concatenate([z3n, z3n, i3n], axis=0)
-        gwg = gamma_u @ (dmc_sigma**2 * i3n) @ gamma_u.T * dt
-        m9 = _np.block([
-            [-a_lti * dt, gwg], [_np.zeros((9, 9)), a_lti.T * dt],
-        ])
-        em = _sla.expm(m9)
-        f_lti = em[9:, 9:].T
-        q_dmc = f_lti @ em[:9, 9:]
-        q_dmc = 0.5 * (q_dmc + q_dmc.T)
+        _, q_dmc = c2d.van_loan_host(a_lti, gamma_u, dmc_sigma**2 * i3n, dt)
         noise = noise._replace(q=jnp.asarray(q_dmc, dtype))
         x0_ref = jnp.concatenate([x0_ref, jnp.zeros(3, dtype)])
         p0 = jnp.asarray(p0)

@@ -194,3 +194,22 @@ def test_enkf_nonlinear_converges():
         _, est = enkf.run(noise, state0, ys, fx, hx, key=key, method=method)
         err = float(jnp.linalg.norm(est.state[-1] - truth[-1]))
         assert err < err0 / 5, (method, err, err0)
+
+
+def test_etkf_masked_step_does_not_inflate():
+    """Inflation is per assimilation in BOTH analysis schemes: a masked
+    (pure-forecast) ETKF step must not inflate the anomalies, or sparse
+    measurement scans compound it catastrophically (1.02^2160)."""
+    f, h, q, r, x0, p0 = _system()
+    noise0 = gk.noise.noiseless(jnp.zeros_like(q), r)
+    fx, hx = enkf.linear_fns(f, h)
+    state0 = enkf.new(x0, p0, 8, noise0)
+    _, est = enkf.step_etkf(noise0, state0, jnp.array([0.3]), fx, hx,
+                            inflation=2.0, has=jnp.array(False))
+    np.testing.assert_allclose(est.pred_covariance, f @ p0 @ f.T, atol=1e-10)
+    # And the stochastic step, same contract.
+    _, est_s = enkf.step(noise0, state0, jnp.array([0.3]), fx, hx,
+                         jax.random.PRNGKey(0), inflation=2.0,
+                         has=jnp.array(False))
+    np.testing.assert_allclose(est_s.pred_covariance, f @ p0 @ f.T,
+                               atol=1e-10)

@@ -35,6 +35,15 @@ import jax.numpy as jnp
 
 from .. import linalg
 from ..noise import Noise
+from .enkf import _member_normals, _psum  # shared sharding helpers
+
+
+def _global_logsumexp(lw, axis_name=None):
+    """logsumexp over the (possibly device-sharded) particle axis."""
+    if axis_name is None:
+        return jax.scipy.special.logsumexp(lw)
+    m = jax.lax.pmax(jnp.max(lw), axis_name)
+    return m + jnp.log(_psum(jnp.sum(jnp.exp(lw - m)), axis_name))
 
 
 class State(NamedTuple):
@@ -54,14 +63,21 @@ class Estimate(NamedTuple):
         return linalg.is_within_nsigma(self.state, self.covariance, n_sigma)
 
 
-def new(x0, p0, n_particles: int, key: jax.Array) -> State:
-    """Initial cloud: x_i ~ N(x0, P0), uniform weights."""
+def new(x0, p0, n_particles: int, key: jax.Array,
+        member_offset=0, n_total=None) -> State:
+    """Initial cloud: x_i ~ N(x0, P0), uniform weights.
+
+    Draws are keyed per GLOBAL particle index (fold_in), so a
+    device-sharded cloud built shard-by-shard with the matching
+    `member_offset`/`n_total` reproduces the unsharded one exactly."""
     x0 = jnp.asarray(x0)
     p0 = jnp.asarray(p0)
     linalg.check_dims((x0.shape[0], 1), p0.shape, "x0", "P0", "rows2cols")
-    z = jax.random.normal(key, (n_particles, x0.shape[0]), dtype=x0.dtype)
+    z = _member_normals(key, n_particles, x0.shape[0], x0.dtype,
+                        member_offset)
     pts = x0[None, :] + z @ jnp.linalg.cholesky(p0).T
-    lw = jnp.full((n_particles,), -jnp.log(float(n_particles)), x0.dtype)
+    n = n_particles if n_total is None else n_total
+    lw = jnp.full((n_particles,), -jnp.log(float(n)), x0.dtype)
     return State(pts, lw, jnp.int32(0))
 
 
@@ -119,7 +135,7 @@ def effective_sample_size(log_weights: jax.Array) -> jax.Array:
 
 def step(state: State, measurement, propagate: Callable, loglik: Callable,
          key: jax.Array, control=None, resample_threshold: float = 0.5,
-         has=None):
+         has=None, member_offset=0, n_total=None, axis_name=None):
     """One SIR step: propagate through the bootstrap proposal, reweight
     by the measurement likelihood, systematic-resample when the ESS
     falls below `resample_threshold * N`.
@@ -127,10 +143,20 @@ def step(state: State, measurement, propagate: Callable, loglik: Callable,
     `has` (traced bool) masks the measurement: a masked step keeps the
     weights (and skips resampling) so it reduces to pure propagation —
     the same masked-scan convention as the other nonlinear filters.
+
+    `member_offset`/`n_total`/`axis_name` distribute the particle axis
+    over a device mesh (see parallel.sharded_particle_run): noise is
+    keyed per global particle index, normalization/moments/ESS use
+    collectives, and resampling all-gathers the (weights, particles) —
+    small at filter scale — so every device selects its slice of the
+    globally-identical systematic ancestors.
     """
-    n = state.particles.shape[0]
+    n_local = state.particles.shape[0]
+    n = n_local if n_total is None else n_total
     k_prop, k_res = jax.random.split(key)
-    pkeys = jax.random.split(k_prop, n)
+    pkeys = jax.vmap(lambda i: jax.random.fold_in(k_prop, i))(
+        member_offset + jnp.arange(n_local)
+    )
 
     if control is not None:
         pts = jax.vmap(lambda x, k: propagate(x, k, control))(
@@ -144,28 +170,45 @@ def step(state: State, measurement, propagate: Callable, loglik: Callable,
         ll = jnp.where(has, ll, jnp.zeros_like(ll))
     lw = state.log_weights + ll
     # Incremental evidence: logsumexp of (normalized prev + loglik).
-    log_inc = jax.scipy.special.logsumexp(lw)
+    log_inc = _global_logsumexp(lw, axis_name)
     lw = lw - log_inc
 
     w = jnp.exp(lw)
-    mean = w @ pts
+    mean = _psum(w @ pts, axis_name)
     dev = pts - mean[None, :]
     # Unbiased weighted covariance; the divisor is guarded against the
     # fully-degenerate case (all weight on one particle -> divisor 0).
-    cov = (dev * w[:, None]).T @ dev / jnp.maximum(
-        1.0 - jnp.sum(w**2), 1e-12
+    cov = _psum((dev * w[:, None]).T @ dev, axis_name) / jnp.maximum(
+        1.0 - _psum(jnp.sum(w**2), axis_name), 1e-12
     )
-    ess = effective_sample_size(lw)
+    ess = jnp.exp(-_global_logsumexp(2.0 * lw, axis_name))
 
-    idx = systematic_resample_indices(lw, k_res)
     do_res = ess < resample_threshold * n
     if has is not None:
         do_res = jnp.logical_and(do_res, has)
-    take = jnp.where(do_res, idx, jnp.arange(n, dtype=jnp.int32))
-    pts = jnp.take(pts, take, axis=0)
-    lw = jnp.where(
-        do_res, jnp.full_like(lw, -jnp.log(float(n))), jnp.take(lw, take)
-    )
+    if axis_name is None:
+        idx = systematic_resample_indices(lw, k_res)
+        take = jnp.where(do_res, idx, jnp.arange(n, dtype=jnp.int32))
+        pts = jnp.take(pts, take, axis=0)
+        lw = jnp.where(
+            do_res, jnp.full_like(lw, -jnp.log(float(n))), jnp.take(lw, take)
+        )
+    else:
+        # Gather the full (weights, particles) — [N] + [N, n_x] floats,
+        # small at filter scale — compute the globally-identical
+        # ancestor vector on every device, and keep this shard's slice.
+        lw_all = jax.lax.all_gather(lw, axis_name, tiled=True)
+        pts_all = jax.lax.all_gather(pts, axis_name, tiled=True)
+        idx_all = systematic_resample_indices(lw_all, k_res)
+        my_idx = jax.lax.dynamic_slice_in_dim(idx_all, member_offset,
+                                              n_local)
+        keep = member_offset + jnp.arange(n_local, dtype=jnp.int32)
+        take = jnp.where(do_res, my_idx, keep)
+        pts = jnp.take(pts_all, take, axis=0)
+        lw = jnp.where(
+            do_res, jnp.full((n_local,), -jnp.log(float(n)), lw.dtype),
+            jnp.take(lw_all, take),
+        )
 
     est = Estimate(
         state=mean,

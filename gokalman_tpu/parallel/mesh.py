@@ -254,3 +254,76 @@ def sharded_enkf_run(noise, x0, p0, n_ens: int, measurements, fx, hx, key,
 
     ensemble, ests = run_local(measurements, controls, meas_masks, step_keys)
     return ensemble, ests
+
+
+def sharded_particle_run(x0, p0, n_particles: int, measurements, propagate,
+                         loglik, key, mesh: Mesh, meas_masks=None,
+                         resample_threshold: float = 0.5):
+    """Bootstrap particle filter with the particle axis sharded over the
+    mesh.
+
+    Propagation and likelihood evaluation — the expensive parts for
+    nontrivial dynamics — stay device-local; normalization, moments,
+    and ESS are tiny collectives; resampling all-gathers the (weights,
+    particles) arrays (small at filter-state scale) so every device
+    computes the identical systematic-ancestor vector and keeps its
+    slice.  Noise is keyed per GLOBAL particle index, so the result
+    equals the unsharded filters.particle run bit-for-bit
+    (tests/test_shard_particle.py); the key layout mirrors
+    `new(key=k_init)` + `run(key=k_run)` with (k_init, k_run) =
+    split(key).
+    """
+    from functools import partial
+
+    from ..filters import particle
+
+    axis_names = mesh.axis_names
+    if len(axis_names) != 1:
+        raise ValueError("sharded_particle_run expects a 1-D ensemble mesh")
+    axis = axis_names[0]
+    n_dev = int(np.prod(mesh.devices.shape))
+    if n_particles % n_dev:
+        raise ValueError(
+            f"n_particles {n_particles} not divisible by {n_dev} devices"
+        )
+    local_n = n_particles // n_dev
+
+    x0 = jnp.asarray(x0)
+    p0 = jnp.asarray(p0)
+    t = measurements.shape[0]
+    init_key, run_key = jax.random.split(key)
+    step_keys = jax.random.split(run_key, t)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P()),
+        out_specs=(P(axis), P()),
+    )
+    def run_local(meas, masks, skeys):
+        offset = jax.lax.axis_index(axis) * local_n
+        state = particle.new(x0, p0, local_n, init_key,
+                             member_offset=offset, n_total=n_particles)
+        # The initial weights/counter are computed identically on every
+        # device (invariant); mark them device-varying so the scan
+        # carry's manual-axes tracking matches the (genuinely varying)
+        # outputs.  The particles leaf is already varying (axis_index).
+        state = state._replace(
+            log_weights=jax.lax.pcast(state.log_weights, (axis,),
+                                      to="varying"),
+            k=jax.lax.pcast(state.k, (axis,), to="varying"),
+        )
+
+        def body(carry, xs):
+            m, has, k = xs
+            return particle.step(
+                carry, m, propagate, loglik, k,
+                resample_threshold=resample_threshold, has=has,
+                member_offset=offset, n_total=n_particles, axis_name=axis,
+            )
+
+        state, ests = jax.lax.scan(body, state, (meas, masks, skeys))
+        return state.particles, ests
+
+    particles, ests = run_local(measurements, meas_masks, step_keys)
+    return particles, ests

@@ -127,6 +127,30 @@ def systematic_resample_indices(log_weights: jax.Array, key: jax.Array):
     ).astype(jnp.int32)
 
 
+def stratified_resample_indices(log_weights: jax.Array, key: jax.Array):
+    """Stratified resampling: one independent uniform per stratum,
+    positions (i + u_i)/N — unbiased, variance between multinomial and
+    systematic.  Same contract as systematic_resample_indices."""
+    n = log_weights.shape[0]
+    w = jnp.exp(log_weights - jax.scipy.special.logsumexp(log_weights))
+    cdf = jnp.cumsum(w)
+    cdf = cdf / cdf[-1]
+    u = jax.random.uniform(key, (n,), dtype=w.dtype)
+    positions = (jnp.arange(n, dtype=w.dtype) + u) / n
+    return jnp.clip(
+        jnp.searchsorted(cdf, positions, side="left"), 0, n - 1
+    ).astype(jnp.int32)
+
+
+def multinomial_resample_indices(log_weights: jax.Array, key: jax.Array):
+    """Plain multinomial (iid categorical) resampling — highest
+    variance of the three, provided for completeness/comparisons."""
+    n = log_weights.shape[0]
+    return jax.random.categorical(key, log_weights, shape=(n,)).astype(
+        jnp.int32
+    )
+
+
 def effective_sample_size(log_weights: jax.Array) -> jax.Array:
     """ESS = 1 / sum(w_i^2) for normalized weights (Kong et al. 1994)."""
     lw = log_weights - jax.scipy.special.logsumexp(log_weights)

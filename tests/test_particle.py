@@ -169,3 +169,30 @@ def test_pf_reproducible_and_jittable():
     _, b = runner(s0, ys, jax.random.PRNGKey(12))
     np.testing.assert_array_equal(a.state, b.state)
     assert a.state.shape == (8, 2)
+
+
+def test_stratified_and_multinomial_resampling_unbiased():
+    """All three schemes are unbiased (E[counts] = N w) and their
+    count variances order multinomial >= stratified >= systematic."""
+    w = jnp.array([0.5, 0.3, 0.15, 0.05])
+    lw = jnp.log(w)
+    n_trials = 400
+
+    def counts(fn):
+        out = []
+        for s in range(n_trials):
+            idx = fn(lw, jax.random.PRNGKey(s))
+            out.append(np.bincount(np.asarray(idx), minlength=4))
+        return np.asarray(out, dtype=float)
+
+    for fn in (particle.systematic_resample_indices,
+               particle.stratified_resample_indices,
+               particle.multinomial_resample_indices):
+        c = counts(fn)
+        np.testing.assert_allclose(c.mean(0) / 4.0, np.asarray(w), atol=0.05)
+
+    v_sys = counts(particle.systematic_resample_indices).var(0).sum()
+    v_str = counts(particle.stratified_resample_indices).var(0).sum()
+    v_mul = counts(particle.multinomial_resample_indices).var(0).sum()
+    assert v_sys <= v_str + 0.05, (v_sys, v_str)
+    assert v_str <= v_mul + 0.05, (v_str, v_mul)

@@ -18,6 +18,7 @@ from . import (
     c2d,
     checkpoint,
     chisquare,
+    diagnostics,
     dynamics,
     exporter,
     linalg,
@@ -52,6 +53,7 @@ __version__ = "0.1.0"
 __all__ = [
     "c2d",
     "chisquare",
+    "diagnostics",
     "exporter",
     "linalg",
     "montecarlo",

@@ -1,0 +1,82 @@
+"""Filter-health diagnostics: a consistent filter passes every test, a
+mis-tuned one is caught by the matching named statistic."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import gokalman_tpu as gk
+from gokalman_tpu import diagnostics
+from gokalman_tpu.filters import vanilla
+
+
+def _run(q_scale=1.0, r_scale=1.0, seed=0, t=400):
+    """Truth simulated with the TRUE (Q, R); the filter runs with
+    scaled versions — scale 1 = consistent."""
+    f = jnp.array([[1.0, 0.1], [0.0, 1.0]])
+    h = jnp.array([[1.0, 0.0]])
+    q = jnp.diag(jnp.array([1e-4, 1e-3]))
+    r = jnp.array([[0.04]])
+    rng = np.random.default_rng(seed)
+    x = np.array([0.0, 0.3])
+    ys = []
+    for _ in range(t):
+        w = rng.multivariate_normal(np.zeros(2), np.asarray(q))
+        x = np.asarray(f) @ x + w
+        ys.append(x[0] + rng.standard_normal() * np.sqrt(r[0, 0]))
+    ys = jnp.asarray(np.asarray(ys).reshape(-1, 1))
+    model, st = vanilla.new(jnp.array([0.0, 0.3]), jnp.eye(2), f, None, h,
+                            gk.noise.noiseless(q_scale * q, r_scale * r))
+    _, ests = vanilla.run(model, st, measurements=ys)
+    return ests
+
+
+def test_consistent_filter_passes_whiteness():
+    ests = _run()
+    res = diagnostics.innovation_whiteness(ests.innovation[50:])
+    assert bool(res.passed), (float(res.statistic), res.threshold)
+    assert float(jnp.max(jnp.abs(res.autocorr))) < 0.15
+
+
+def test_mistuned_q_fails_whiteness():
+    """Q 100x too small makes the filter sluggish -> serially
+    correlated innovations -> whiteness rejection."""
+    ests = _run(q_scale=0.01)
+    res = diagnostics.innovation_whiteness(ests.innovation[50:])
+    assert not bool(res.passed), float(res.statistic)
+
+
+def test_chi2_interval_and_nees_gate():
+    lo, hi = diagnostics.chi2_interval(2.0, 400)
+    assert lo < 2.0 < hi
+    assert hi - lo < 0.6  # tight at N=400
+    rng = np.random.default_rng(1)
+    good = jnp.asarray(rng.chisquare(2, 400))
+    mean, lo, hi, ok = diagnostics.nees_test(good, 2)
+    assert bool(ok), (float(mean), lo, hi)
+    bad = 3.0 * good
+    _, _, _, ok2 = diagnostics.nees_test(bad, 2)
+    assert not bool(ok2)
+
+
+def test_covariance_health_flags_breakage():
+    ests = _run()
+    healthy = diagnostics.covariance_health(ests.covariance)
+    assert bool(jnp.all(healthy))
+    broken = ests.covariance.at[7, 0, 0].set(jnp.nan)
+    mask = diagnostics.covariance_health(broken)
+    assert not bool(mask[7]) and bool(mask[6])
+
+
+def test_divergence_onset_detects_r_blowup():
+    """NIS sequence that drifts out of its chi-square band mid-arc is
+    localized to within a window of the onset."""
+    rng = np.random.default_rng(3)
+    nis = rng.chisquare(1, 300)
+    nis[180:] *= 8.0  # innovation covariance suddenly understated
+    k = int(diagnostics.divergence_onset(jnp.asarray(nis), 1, window=20))
+    assert 180 <= k <= 220, k
+    ok = diagnostics.divergence_onset(
+        jnp.asarray(rng.chisquare(1, 300)), 1, window=20
+    )
+    assert int(ok) == -1

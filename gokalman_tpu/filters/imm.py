@@ -174,3 +174,106 @@ def run(model: Model, state: State, measurements, controls=None,
         return step(model, carry, meas, u, has)
 
     return jax.lax.scan(body, state, (measurements, controls, meas_masks))
+
+
+class UKFModel(NamedTuple):
+    modes: object  # stacked ukf.Model (leaves carry a leading [M] axis)
+    trans: jax.Array  # [M, M] row-stochastic
+
+
+def new_ukf(x0, p0, models, trans, mu0=None):
+    """IMM over a bank of UKF modes (nonlinear dynamics/measurement):
+    `models` is a list/stack of per-mode `ukf.Model`s (noise + UT
+    params), all sharing the same fx/hx callables — modes differ by
+    their noise levels / UT parameterization, the standard maneuvering
+    setup.  Same contract as `new` otherwise."""
+    if isinstance(models, (list, tuple)):
+        models = jax.tree.map(lambda *xs: jnp.stack(xs), *models)
+    trans = jnp.asarray(trans)
+    m = trans.shape[0]
+    if trans.shape != (m, m):
+        raise ValueError(f"transition matrix must be square, got {trans.shape}")
+    if models.noise.q.shape[0] != m:
+        raise ValueError(
+            f"{models.noise.q.shape[0]} modes but {m}x{m} transition matrix"
+        )
+    rows = jnp.sum(trans, axis=1)
+    if not bool(jnp.allclose(rows, 1.0, atol=1e-6)):
+        raise ValueError("transition matrix rows must sum to 1")
+    x0 = jnp.asarray(x0)
+    p0 = jnp.asarray(p0)
+    linalg.check_dims((x0.shape[0], 1), p0.shape, "x0", "P0", "rows2cols")
+    mu0 = jnp.full((m,), 1.0 / m, x0.dtype) if mu0 is None else jnp.asarray(mu0)
+    xs = jnp.broadcast_to(x0, (m, x0.shape[0]))
+    ps = jnp.broadcast_to(p0, (m,) + p0.shape)
+    return UKFModel(models, trans), State(xs, ps, mu0, jnp.int32(0))
+
+
+@linalg.highp
+def step_ukf(model: UKFModel, state: State, measurement, fx, hx,
+             control=None, has=None):
+    """One IMM cycle with unscented mode-matched filtering: the mixing,
+    probability update, and moment-matched combination are identical to
+    `step`; the per-mode filter is `ukf.step` (vmapped over the stacked
+    mode models) and the likelihood uses the unscented innovation
+    covariance the UKF estimate now carries."""
+    from . import ukf
+
+    eps = jnp.asarray(1e-30, state.mu.dtype)
+
+    c = state.mu @ model.trans
+    w = model.trans * state.mu[:, None] / jnp.maximum(c[None, :], eps)
+    xs_mix = w.T @ state.xs
+    dev = state.xs[None, :, :] - xs_mix[:, None, :]
+    ps_mix = jnp.einsum("ij,ikl->jkl", w, state.ps) + jnp.einsum(
+        "ij,jin,jik->jnk", w, dev, dev
+    )
+
+    def mode_step(mode_model, x, p):
+        return ukf.step(mode_model, ukf.State(x, p, state.k), measurement,
+                        fx, hx, control, has=has)
+
+    sts, ests = jax.vmap(mode_step)(model.modes, xs_mix, ps_mix)
+
+    def loglik(est):
+        ls = jnp.linalg.cholesky(est.innovation_covariance)
+        e = linalg.solve_tri_lower(ls, est.innovation)
+        p_dim = est.innovation.shape[0]
+        return (
+            -0.5 * jnp.dot(e, e)
+            - jnp.sum(jnp.log(jnp.diagonal(ls)))
+            - 0.5 * p_dim * jnp.log(2.0 * jnp.pi)
+        )
+
+    lls = jax.vmap(loglik)(ests)
+    log_mu = jnp.log(jnp.maximum(c, eps)) + lls
+    log_norm = jax.scipy.special.logsumexp(log_mu)
+    mu = jnp.exp(log_mu - log_norm)
+
+    if has is not None:
+        # Masked step: ukf.step already reduced to the pure unscented
+        # prediction (zero gain); keep Markov-chain mode priors.
+        mu = jnp.where(has, mu, c)
+        log_norm = jnp.where(has, log_norm, jnp.zeros_like(log_norm))
+
+    mean, cov = _moment_match(sts.x, sts.p, mu)
+    est = Estimate(
+        state=mean,
+        covariance=cov,
+        mode_probs=mu,
+        innovation=ests.innovation,
+        log_likelihood=log_norm,
+    )
+    return State(sts.x, sts.p, mu, state.k + 1), est
+
+
+@linalg.highp
+def run_ukf(model: UKFModel, state: State, measurements, fx, hx,
+            controls=None, meas_masks=None):
+    """lax.scan driver for the UKF-mode IMM."""
+
+    def body(carry, xs):
+        meas, u, has = xs
+        return step_ukf(model, carry, meas, fx, hx, u, has)
+
+    return jax.lax.scan(body, state, (measurements, controls, meas_masks))

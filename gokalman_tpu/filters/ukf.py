@@ -52,6 +52,11 @@ class Estimate(NamedTuple):
     covariance: jax.Array
     pred_covariance: jax.Array
     gain: jax.Array
+    # Unscented innovation covariance S = cov(hx sigma pts) + R: not
+    # recoverable from (gain, pred_covariance) for nonlinear hx, and
+    # needed by likelihood consumers (imm_ukf mode probabilities,
+    # innovations_log_likelihood-style fitting).
+    innovation_covariance: jax.Array = None
 
     def within_nsigma(self, n_sigma) -> jax.Array:
         return linalg.is_within_nsigma(self.state, self.covariance, n_sigma)
@@ -140,6 +145,7 @@ def step(model: Model, state: State, measurement, fx: Callable, hx: Callable,
         covariance=p,
         pred_covariance=p_pred,
         gain=k_gain,
+        innovation_covariance=s_cov,
     )
     return State(x, p, state.k + 1), est
 

@@ -123,3 +123,72 @@ def test_ctor_errors():
     with pytest.raises(ValueError):
         imm.new(jnp.zeros(2), jnp.eye(2), [model],
                 trans=jnp.array([[0.9, 0.1], [0.1, 0.9]]))  # M mismatch
+
+
+def test_imm_ukf_single_mode_equals_ukf():
+    """UKF-mode IMM with identical modes == the single UKF exactly."""
+    from gokalman_tpu.filters import ukf
+
+    dt = 0.1
+
+    def fx(x):
+        return jnp.array([x[0] + dt * x[1], x[1] - dt * 0.2 * x[1] ** 3])
+
+    def hx(x):
+        return jnp.array([jnp.sqrt(1.0 + x[0] ** 2)])
+
+    q = 1e-4 * jnp.eye(2)
+    r = jnp.array([[1e-3]])
+    noise = gk.noise.noiseless(q, r)
+    rng = np.random.default_rng(0)
+    ys = jnp.asarray(1.1 + 0.05 * rng.standard_normal((20, 1)))
+
+    um, ust = ukf.new(jnp.array([0.8, 0.1]), jnp.eye(2), noise)
+    _, uref = ukf.run(um, ust, ys, fx, hx)
+
+    im, ist = imm.new_ukf(jnp.array([0.8, 0.1]), jnp.eye(2), [um, um],
+                          jnp.array([[0.9, 0.1], [0.1, 0.9]]))
+    _, est = imm.run_ukf(im, ist, ys, fx, hx)
+    np.testing.assert_allclose(est.state, uref.state, atol=1e-9)
+    np.testing.assert_allclose(est.covariance, uref.covariance, atol=1e-9)
+    np.testing.assert_allclose(est.mode_probs, 0.5, atol=1e-9)
+
+
+def test_imm_ukf_identifies_noise_regime_on_nonlinear_track():
+    """Quiet/agile UKF bank on a nonlinear range-tracked target whose
+    velocity starts jinking mid-arc: the agile mode takes over."""
+    from gokalman_tpu.filters import ukf
+
+    dt = 0.25
+
+    def fx(x):
+        return jnp.array([x[0] + dt * x[1], x[1]])
+
+    def hx(x):
+        return jnp.array([jnp.sqrt(1.0 + x[0] ** 2)])
+
+    r = jnp.array([[1e-4]])
+    quiet, _ = ukf.new(jnp.zeros(2), jnp.eye(2),
+                       gk.noise.noiseless(jnp.diag(jnp.array([1e-6, 1e-6])), r))
+    agile, _ = ukf.new(jnp.zeros(2), jnp.eye(2),
+                       gk.noise.noiseless(jnp.diag(jnp.array([1e-6, 0.25])), r))
+
+    rng = np.random.default_rng(5)
+    x = np.array([0.5, 0.4])
+    truth = []
+    for k in range(60):
+        x = np.array([x[0] + dt * x[1], x[1]])
+        if k >= 30:
+            x[1] += 0.8 * np.sin(0.7 * k)
+        truth.append(x.copy())
+    truth = np.asarray(truth)
+    ys = jnp.asarray(np.sqrt(1.0 + truth[:, :1] ** 2)
+                     + 0.01 * rng.standard_normal((60, 1)))
+
+    im, ist = imm.new_ukf(jnp.array([0.5, 0.4]), 0.1 * jnp.eye(2),
+                          [quiet, agile],
+                          jnp.array([[0.97, 0.03], [0.03, 0.97]]))
+    _, est = imm.run_ukf(im, ist, ys, fx, hx)
+    mu = np.asarray(est.mode_probs)
+    assert mu[10:28, 0].mean() > 0.6, mu[10:28, 0].mean()
+    assert mu[42:, 1].mean() > 0.8, mu[42:, 1].mean()

@@ -23,7 +23,6 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 class WhitenessResult(NamedTuple):
@@ -60,8 +59,11 @@ def innovation_whiteness(innovations, lags: int = 10,
                          alpha: float = 0.05) -> WhitenessResult:
     """Ljung-Box style whiteness test on a [T, p] innovation sequence.
 
-    Computes the pooled (per-component, averaged) autocorrelation at
-    1..lags and the statistic Q = T (T+2) Σ_l r_l²/(T-l), approximately
+    The innovations are first whitened by their SAMPLE covariance (the
+    component-wise statistic is only chi-square if the p components are
+    independent — a correlated sensor pair would otherwise double the
+    false-alarm rate), then the per-component Ljung-Box statistics
+    Q = T (T+2) Σ_l r_l²/(T-l) are summed: approximately
     chi-square(lags * p) under the white-noise hypothesis.  A filter
     with mis-sized Q/R or a biased model produces serially correlated
     innovations long before the state error is visible.
@@ -72,7 +74,13 @@ def innovation_whiteness(innovations, lags: int = 10,
     if y.ndim == 1:
         y = y[:, None]
     t, p = y.shape
+    if t <= lags:
+        raise ValueError(f"need more than lags={lags} samples, got {t}")
     yc = y - jnp.mean(y, axis=0, keepdims=True)
+    # Decorrelate components: z = L^{-1} yc with L L^T the sample cov.
+    cov = yc.T @ yc / (t - 1) + 1e-300 * jnp.eye(p, dtype=y.dtype)
+    l = jnp.linalg.cholesky(cov)
+    yc = jax.scipy.linalg.solve_triangular(l, yc.T, lower=True).T
     denom = jnp.sum(yc * yc, axis=0)  # [p]
 
     def r_at(lag):

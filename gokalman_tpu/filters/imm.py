@@ -51,20 +51,14 @@ class Estimate(NamedTuple):
         return linalg.is_within_nsigma(self.state, self.covariance, n_sigma)
 
 
-def new(x0, p0, models, trans, mu0=None):
-    """Build the IMM from a list/stack of per-mode `vanilla.Model`s, a
-    row-stochastic transition matrix, and optional initial mode
-    probabilities (uniform by default).  All modes share (x0, P0)."""
-    if isinstance(models, (list, tuple)):
-        models = jax.tree.map(lambda *xs: jnp.stack(xs), *models)
+def _bank_init(models, trans, x0, p0, mu0, mode_count: int):
+    """Shared constructor validation/state for both mode-bank flavors."""
     trans = jnp.asarray(trans)
     m = trans.shape[0]
     if trans.shape != (m, m):
         raise ValueError(f"transition matrix must be square, got {trans.shape}")
-    if models.f.shape[0] != m:
-        raise ValueError(
-            f"{models.f.shape[0]} modes but {m}x{m} transition matrix"
-        )
+    if mode_count != m:
+        raise ValueError(f"{mode_count} modes but {m}x{m} transition matrix")
     rows = jnp.sum(trans, axis=1)
     if not bool(jnp.allclose(rows, 1.0, atol=1e-6)):
         raise ValueError("transition matrix rows must sum to 1")
@@ -74,7 +68,48 @@ def new(x0, p0, models, trans, mu0=None):
     mu0 = jnp.full((m,), 1.0 / m, x0.dtype) if mu0 is None else jnp.asarray(mu0)
     xs = jnp.broadcast_to(x0, (m, x0.shape[0]))
     ps = jnp.broadcast_to(p0, (m,) + p0.shape)
-    return Model(models, trans), State(xs, ps, mu0, jnp.int32(0))
+    return trans, State(xs, ps, mu0, jnp.int32(0))
+
+
+def _mix(state: State, trans: jax.Array, eps):
+    """Interaction/mixing: c_j = sum_i trans[i,j] mu_i;
+    w[i,j] = trans[i,j] mu_i / c_j; mixed per-mode moments."""
+    c = state.mu @ trans  # [M]
+    w = trans * state.mu[:, None] / jnp.maximum(c[None, :], eps)
+    xs_mix = w.T @ state.xs  # [M, n]
+    dev = state.xs[None, :, :] - xs_mix[:, None, :]  # [j, i, n]
+    ps_mix = jnp.einsum("ij,ikl->jkl", w, state.ps) + jnp.einsum(
+        "ij,jin,jik->jnk", w, dev, dev
+    )
+    return c, xs_mix, ps_mix
+
+
+def _gaussian_loglik(innovation, s):
+    ls = jnp.linalg.cholesky(s)
+    e = linalg.solve_tri_lower(ls, innovation)
+    p = innovation.shape[0]
+    return (
+        -0.5 * jnp.dot(e, e)
+        - jnp.sum(jnp.log(jnp.diagonal(ls)))
+        - 0.5 * p * jnp.log(2.0 * jnp.pi)
+    )
+
+
+def _mode_posterior(c, lls, eps):
+    log_mu = jnp.log(jnp.maximum(c, eps)) + lls
+    log_norm = jax.scipy.special.logsumexp(log_mu)
+    return jnp.exp(log_mu - log_norm), log_norm
+
+
+def new(x0, p0, models, trans, mu0=None):
+    """Build the IMM from a list/stack of per-mode `vanilla.Model`s, a
+    row-stochastic transition matrix, and optional initial mode
+    probabilities (uniform by default).  All modes share (x0, P0)."""
+    if isinstance(models, (list, tuple)):
+        models = jax.tree.map(lambda *xs: jnp.stack(xs), *models)
+    trans, state = _bank_init(models, trans, x0, p0, mu0,
+                              int(models.f.shape[0]))
+    return Model(models, trans), state
 
 
 def _moment_match(xs, ps, w):
@@ -98,18 +133,9 @@ def step(model: Model, state: State, measurement, control=None, has=None):
     the Markov chain alone), matching the masked-scan convention of the
     other filters."""
     eps = jnp.asarray(1e-30, state.mu.dtype)
+    c, xs_mix, ps_mix = _mix(state, model.trans, eps)
 
-    # 1. Interaction/mixing: c_j = sum_i trans[i,j] mu_i;
-    #    w[i,j] = trans[i,j] mu_i / c_j.
-    c = state.mu @ model.trans  # [M]
-    w = model.trans * state.mu[:, None] / jnp.maximum(c[None, :], eps)
-    xs_mix = w.T @ state.xs  # [M, n]
-    dev = state.xs[None, :, :] - xs_mix[:, None, :]  # [j, i, n]
-    ps_mix = jnp.einsum("ij,ikl->jkl", w, state.ps) + jnp.einsum(
-        "ij,jin,jik->jnk", w, dev, dev
-    )
-
-    # 2. Mode-matched filtering: one vanilla CKF step per mode (vmap).
+    # Mode-matched filtering: one vanilla CKF step per mode (vmap).
     def mode_step(mode_model, x, p):
         return vanilla.step(
             mode_model, vanilla.State(x, p, state.k), measurement, control
@@ -117,26 +143,16 @@ def step(model: Model, state: State, measurement, control=None, has=None):
 
     (sts, ests) = jax.vmap(mode_step)(model.modes, xs_mix, ps_mix)
 
-    # Per-mode innovation log-likelihoods under S = H P^- H^T + R.
+    # Per-mode innovation log-likelihoods under S = H P^- H^T + R,
+    # then mode probabilities mu_j ∝ c_j Λ_j (log-space for f32).
     def loglik(mode_model, est):
         s = mode_model.h @ est.pred_covariance @ mode_model.h.T + (
             mode_model.noise.r
         )
-        ls = jnp.linalg.cholesky(s)
-        e = linalg.solve_tri_lower(ls, est.innovation)
-        p = est.innovation.shape[0]
-        return (
-            -0.5 * jnp.dot(e, e)
-            - jnp.sum(jnp.log(jnp.diagonal(ls)))
-            - 0.5 * p * jnp.log(2.0 * jnp.pi)
-        )
+        return _gaussian_loglik(est.innovation, s)
 
     lls = jax.vmap(loglik)(model.modes, ests)  # [M]
-
-    # 3. Mode probability update: mu_j ∝ c_j Λ_j (log-space for f32).
-    log_mu = jnp.log(jnp.maximum(c, eps)) + lls
-    log_norm = jax.scipy.special.logsumexp(log_mu)
-    mu = jnp.exp(log_mu - log_norm)
+    mu, log_norm = _mode_posterior(c, lls, eps)
 
     if has is not None:
         # Masked step: keep the time-update-only bank and Markov priors.
@@ -189,24 +205,9 @@ def new_ukf(x0, p0, models, trans, mu0=None):
     setup.  Same contract as `new` otherwise."""
     if isinstance(models, (list, tuple)):
         models = jax.tree.map(lambda *xs: jnp.stack(xs), *models)
-    trans = jnp.asarray(trans)
-    m = trans.shape[0]
-    if trans.shape != (m, m):
-        raise ValueError(f"transition matrix must be square, got {trans.shape}")
-    if models.noise.q.shape[0] != m:
-        raise ValueError(
-            f"{models.noise.q.shape[0]} modes but {m}x{m} transition matrix"
-        )
-    rows = jnp.sum(trans, axis=1)
-    if not bool(jnp.allclose(rows, 1.0, atol=1e-6)):
-        raise ValueError("transition matrix rows must sum to 1")
-    x0 = jnp.asarray(x0)
-    p0 = jnp.asarray(p0)
-    linalg.check_dims((x0.shape[0], 1), p0.shape, "x0", "P0", "rows2cols")
-    mu0 = jnp.full((m,), 1.0 / m, x0.dtype) if mu0 is None else jnp.asarray(mu0)
-    xs = jnp.broadcast_to(x0, (m, x0.shape[0]))
-    ps = jnp.broadcast_to(p0, (m,) + p0.shape)
-    return UKFModel(models, trans), State(xs, ps, mu0, jnp.int32(0))
+    trans, state = _bank_init(models, trans, x0, p0, mu0,
+                              int(models.noise.q.shape[0]))
+    return UKFModel(models, trans), state
 
 
 @linalg.highp
@@ -220,14 +221,7 @@ def step_ukf(model: UKFModel, state: State, measurement, fx, hx,
     from . import ukf
 
     eps = jnp.asarray(1e-30, state.mu.dtype)
-
-    c = state.mu @ model.trans
-    w = model.trans * state.mu[:, None] / jnp.maximum(c[None, :], eps)
-    xs_mix = w.T @ state.xs
-    dev = state.xs[None, :, :] - xs_mix[:, None, :]
-    ps_mix = jnp.einsum("ij,ikl->jkl", w, state.ps) + jnp.einsum(
-        "ij,jin,jik->jnk", w, dev, dev
-    )
+    c, xs_mix, ps_mix = _mix(state, model.trans, eps)
 
     def mode_step(mode_model, x, p):
         return ukf.step(mode_model, ukf.State(x, p, state.k), measurement,
@@ -235,20 +229,11 @@ def step_ukf(model: UKFModel, state: State, measurement, fx, hx,
 
     sts, ests = jax.vmap(mode_step)(model.modes, xs_mix, ps_mix)
 
-    def loglik(est):
-        ls = jnp.linalg.cholesky(est.innovation_covariance)
-        e = linalg.solve_tri_lower(ls, est.innovation)
-        p_dim = est.innovation.shape[0]
-        return (
-            -0.5 * jnp.dot(e, e)
-            - jnp.sum(jnp.log(jnp.diagonal(ls)))
-            - 0.5 * p_dim * jnp.log(2.0 * jnp.pi)
-        )
-
-    lls = jax.vmap(loglik)(ests)
-    log_mu = jnp.log(jnp.maximum(c, eps)) + lls
-    log_norm = jax.scipy.special.logsumexp(log_mu)
-    mu = jnp.exp(log_mu - log_norm)
+    lls = jax.vmap(
+        lambda est: _gaussian_loglik(est.innovation,
+                                     est.innovation_covariance)
+    )(ests)
+    mu, log_norm = _mode_posterior(c, lls, eps)
 
     if has is not None:
         # Masked step: ukf.step already reduced to the pure unscented

@@ -110,6 +110,18 @@ def gaussian_log_likelihood(hx: Callable, noise: Noise) -> Callable:
     return loglik
 
 
+def _resample_from_positions(log_weights: jax.Array, positions: jax.Array):
+    """Shared CDF inversion for the position-based resampling schemes
+    (normalization + f32-roundoff guard at the top of the CDF)."""
+    n = log_weights.shape[0]
+    w = jnp.exp(log_weights - jax.scipy.special.logsumexp(log_weights))
+    cdf = jnp.cumsum(w)
+    cdf = cdf / cdf[-1]  # guard f32 roundoff at the top
+    return jnp.clip(
+        jnp.searchsorted(cdf, positions, side="left"), 0, n - 1
+    ).astype(jnp.int32)
+
+
 def systematic_resample_indices(log_weights: jax.Array, key: jax.Array):
     """Minimal-variance systematic resampling: one uniform offset u,
     positions (i + u)/N against the weight CDF.  Returns [N] int32
@@ -117,14 +129,9 @@ def systematic_resample_indices(log_weights: jax.Array, key: jax.Array):
     copies, so the resampled counts have the smallest possible
     variance among unbiased schemes."""
     n = log_weights.shape[0]
-    w = jnp.exp(log_weights - jax.scipy.special.logsumexp(log_weights))
-    cdf = jnp.cumsum(w)
-    cdf = cdf / cdf[-1]  # guard f32 roundoff at the top
-    u = jax.random.uniform(key, (), dtype=w.dtype)
-    positions = (jnp.arange(n, dtype=w.dtype) + u) / n
-    return jnp.clip(
-        jnp.searchsorted(cdf, positions, side="left"), 0, n - 1
-    ).astype(jnp.int32)
+    u = jax.random.uniform(key, (), dtype=log_weights.dtype)
+    positions = (jnp.arange(n, dtype=log_weights.dtype) + u) / n
+    return _resample_from_positions(log_weights, positions)
 
 
 def stratified_resample_indices(log_weights: jax.Array, key: jax.Array):
@@ -132,14 +139,9 @@ def stratified_resample_indices(log_weights: jax.Array, key: jax.Array):
     positions (i + u_i)/N — unbiased, variance between multinomial and
     systematic.  Same contract as systematic_resample_indices."""
     n = log_weights.shape[0]
-    w = jnp.exp(log_weights - jax.scipy.special.logsumexp(log_weights))
-    cdf = jnp.cumsum(w)
-    cdf = cdf / cdf[-1]
-    u = jax.random.uniform(key, (n,), dtype=w.dtype)
-    positions = (jnp.arange(n, dtype=w.dtype) + u) / n
-    return jnp.clip(
-        jnp.searchsorted(cdf, positions, side="left"), 0, n - 1
-    ).astype(jnp.int32)
+    u = jax.random.uniform(key, (n,), dtype=log_weights.dtype)
+    positions = (jnp.arange(n, dtype=log_weights.dtype) + u) / n
+    return _resample_from_positions(log_weights, positions)
 
 
 def multinomial_resample_indices(log_weights: jax.Array, key: jax.Array):

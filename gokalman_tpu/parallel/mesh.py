@@ -257,8 +257,8 @@ def sharded_enkf_run(noise, x0, p0, n_ens: int, measurements, fx, hx, key,
 
 
 def sharded_particle_run(x0, p0, n_particles: int, measurements, propagate,
-                         loglik, key, mesh: Mesh, meas_masks=None,
-                         resample_threshold: float = 0.5):
+                         loglik, key, mesh: Mesh, controls=None,
+                         meas_masks=None, resample_threshold: float = 0.5):
     """Bootstrap particle filter with the particle axis sharded over the
     mesh.
 
@@ -297,10 +297,10 @@ def sharded_particle_run(x0, p0, n_particles: int, measurements, propagate,
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(), P(), P()),
+        in_specs=(P(), P(), P(), P()),
         out_specs=(P(axis), P()),
     )
-    def run_local(meas, masks, skeys):
+    def run_local(meas, ctrls, masks, skeys):
         offset = jax.lax.axis_index(axis) * local_n
         state = particle.new(x0, p0, local_n, init_key,
                              member_offset=offset, n_total=n_particles)
@@ -315,15 +315,15 @@ def sharded_particle_run(x0, p0, n_particles: int, measurements, propagate,
         )
 
         def body(carry, xs):
-            m, has, k = xs
+            m, u, has, k = xs
             return particle.step(
-                carry, m, propagate, loglik, k,
+                carry, m, propagate, loglik, k, control=u,
                 resample_threshold=resample_threshold, has=has,
                 member_offset=offset, n_total=n_particles, axis_name=axis,
             )
 
-        state, ests = jax.lax.scan(body, state, (meas, masks, skeys))
+        state, ests = jax.lax.scan(body, state, (meas, ctrls, masks, skeys))
         return state.particles, ests
 
-    particles, ests = run_local(measurements, meas_masks, step_keys)
+    particles, ests = run_local(measurements, controls, meas_masks, step_keys)
     return particles, ests

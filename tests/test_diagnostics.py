@@ -80,3 +80,37 @@ def test_divergence_onset_detects_r_blowup():
         jnp.asarray(rng.chisquare(1, 300)), 1, window=20
     )
     assert int(ok) == -1
+
+
+def test_innovation_bias_flags_biased_model():
+    """Unbiased filter -> normalized bias components within ~3; a
+    constant measurement offset drives the statistic far out."""
+    ests = _run()
+    f = jnp.array([[1.0, 0.1], [0.0, 1.0]])
+    h = jnp.array([[1.0, 0.0]])
+    t = ests.innovation.shape[0]
+    hs = jnp.broadcast_to(h, (t, 1, 2))
+    rs = jnp.broadcast_to(jnp.array([[0.04]]), (t, 1, 1))
+    b = diagnostics.innovation_bias(ests.innovation[50:],
+                                    ests.pred_covariance[50:],
+                                    hs[50:], rs[50:])
+    assert float(jnp.max(jnp.abs(b))) < 4.0, b
+    biased = ests.innovation[50:] + 0.2  # constant offset ~ sigma
+    b2 = diagnostics.innovation_bias(biased, ests.pred_covariance[50:],
+                                     hs[50:], rs[50:])
+    assert float(jnp.max(jnp.abs(b2))) > 6.0, b2
+
+
+def test_whiteness_guard_and_correlated_components():
+    import pytest
+
+    with pytest.raises(ValueError):
+        diagnostics.innovation_whiteness(jnp.ones((8, 1)), lags=10)
+    # Strongly correlated (but white-in-time) 2-component innovations
+    # must still pass at the nominal rate: the whitening decorrelates.
+    rng = np.random.default_rng(7)
+    z = rng.standard_normal((500, 1))
+    y = np.concatenate([z, 0.95 * z + 0.05 * rng.standard_normal((500, 1))],
+                       axis=1)
+    res = diagnostics.innovation_whiteness(jnp.asarray(y))
+    assert bool(res.passed), float(res.statistic)

@@ -21,6 +21,7 @@ import gokalman_tpu as gk
 
 
 def main(outdir="."):
+    os.makedirs(outdir, exist_ok=True)
     dt = 0.1
     f = jnp.array([[1.0, dt], [0.0, 1.0]])
     g = jnp.array([[0.5 * dt * dt], [dt]])
@@ -58,6 +59,11 @@ def main(outdir="."):
     # implements the calibrated variant where NEES -> n exactly.
     print(f"NEES mean (lagged reference semantics): {float(jnp.mean(nees[20:])):.3f}")
     print(f"NIS mean  (expect ~1): {float(jnp.mean(nis[20:])):.3f}")
+    # Formal gate: exact chi-square acceptance interval for the NIS
+    # time-average (diagnostics toolkit, Bar-Shalom ch.5).
+    mean, lo, hi, ok = gk.diagnostics.nees_test(nis[20:], dof=1)
+    print(f"NIS chi-square gate: {float(mean):.3f} in [{lo:.3f}, {hi:.3f}] "
+          f"-> {'PASS' if bool(ok) else 'FAIL'}")
 
     # PNG gallery (the reference commits Kst-rendered plots; here they
     # are generated on the fly when matplotlib is available).

@@ -192,3 +192,21 @@ def test_imm_ukf_identifies_noise_regime_on_nonlinear_track():
     mu = np.asarray(est.mode_probs)
     assert mu[10:28, 0].mean() > 0.6, mu[10:28, 0].mean()
     assert mu[42:, 1].mean() > 0.8, mu[42:, 1].mean()
+
+
+def test_imm_bank_vmaps_over_targets():
+    """Serving posture: a bank of independent IMM trackers is one vmap
+    over the measurement streams (pure functions, no state sharing)."""
+    quiet = _cv_model(1e-4)
+    agile = _cv_model(1.0)
+    trans = jnp.array([[0.95, 0.05], [0.05, 0.95]])
+    im, ist = imm.new(jnp.zeros(2), jnp.eye(2), [quiet, agile], trans)
+    rng = np.random.default_rng(9)
+    ys = jnp.asarray(rng.standard_normal((16, 30, 1)))  # 16 targets
+
+    _, bank = jax.vmap(lambda y: imm.run(im, ist, y))(ys)
+    assert bank.state.shape == (16, 30, 2)
+    assert bank.mode_probs.shape == (16, 30, 2)
+    # Each bank entry equals the standalone run.
+    _, solo = imm.run(im, ist, ys[3])
+    np.testing.assert_allclose(bank.state[3], solo.state, atol=1e-12)

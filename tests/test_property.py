@@ -82,3 +82,45 @@ def test_sqrt_filter_survives_ill_conditioning_in_f32():
     # reconstructed covariance stays symmetric PSD while tracking.
     eigs = np.linalg.eigvalsh(np.asarray(se.covariance[-1], np.float64))
     assert eigs.min() >= -1e-6 * eigs.max()
+
+
+@pytest.mark.parametrize("seed,n,p", [(11, 2, 1), (12, 3, 2), (13, 5, 3)])
+def test_etkf_and_cubature_match_kf_on_random_systems(seed, n, p):
+    """Random stable noise-free systems: the symmetric-sqrt ETKF (full
+    deterministic ensemble) and the cubature-parameterized UKF both
+    reproduce the exact KF — property-style breadth beyond the single
+    fixture tests."""
+    from gokalman_tpu.filters import enkf, ukf
+
+    rng = np.random.default_rng(seed)
+    f = np.eye(n) + 0.1 * rng.standard_normal((n, n))
+    f *= 0.98 / max(1.0, np.max(np.abs(np.linalg.eigvals(f))))
+    h = rng.standard_normal((p, n))
+    r = random_spd(rng, p, 0.3)
+    x0 = rng.standard_normal(n)
+    p0 = random_spd(rng, n, 1.0)
+    fj, hj, rj, x0j, p0j = map(jnp.asarray, (f, h, r, x0, p0))
+    q0 = jnp.zeros((n, n))
+    t = 12
+    ys = jnp.asarray(rng.standard_normal((t, p)))
+
+    nz = gn.noiseless(q0, rj)
+    vm, vs = vanilla.new(x0j, p0j, fj, None, hj, nz)
+    _, ve = vanilla.run(vm, vs, measurements=ys)
+
+    fx, hx = enkf.linear_fns(fj, hj)
+    es = enkf.new(x0j, p0j, 2 * n + 2, nz)
+    _, ee = enkf.run(nz, es, ys, fx, hx, method="etkf")
+    np.testing.assert_allclose(np.asarray(ee.state), np.asarray(ve.state),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(ee.covariance),
+                               np.asarray(ve.covariance), rtol=1e-5,
+                               atol=1e-7)
+
+    um, us = ukf.new(x0j, p0j, nz, **ukf.cubature_params()._asdict())
+    _, ue = ukf.run(um, us, ys, lambda x: fj @ x, lambda x: hj @ x)
+    np.testing.assert_allclose(np.asarray(ue.state), np.asarray(ve.state),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(ue.covariance),
+                               np.asarray(ve.covariance), rtol=1e-5,
+                               atol=1e-7)

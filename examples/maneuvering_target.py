@@ -9,7 +9,9 @@ driver, cf. examples/robot/main.go):
 2. Bootstrap particle filter on a sign-ambiguous |x| sensor where every
    Gaussian filter's unimodal posterior picks a side and the PF keeps
    both hypotheses alive.
-3. ETKF on the same linear tracker, covariance-free.
+3. Rao-Blackwellized PF: 1-D nonlinear "terrain" position + marginal
+   KF over [velocity, sensor bias] — samples only the 1 nonlinear dim.
+4. ETKF on the same linear tracker, covariance-free.
 
 Run: env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu python examples/maneuvering_target.py
 """
@@ -24,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 import gokalman_tpu as gk
-from gokalman_tpu.filters import enkf, imm, particle, vanilla
+from gokalman_tpu.filters import enkf, imm, particle, rbpf, vanilla
 
 DT = 0.5
 
@@ -93,6 +95,50 @@ def main():
     print(f"PF:  |x| sensor, prior on the wrong sign: final error "
           f"{abs(float(pest.state[-1, 0] - truth_pf[-1, 0])):.3f} "
           f"(ESS {float(pest.ess[-1]):.0f}/4096)")
+
+    # --- RBPF: terrain-aided navigation style ------------------------
+    # Position eta moves with an estimated velocity z1 through a bumpy
+    # "terrain" height sensor h(eta) (nonlinear in eta, linear in the
+    # [velocity, bias] substate z): the PF samples only eta, the
+    # per-particle KFs carry z exactly.
+    a_drift = 1.0
+
+    def f_eta(e):
+        return a_drift * e
+
+    def g_eta(e):
+        return jnp.zeros(2)
+
+    def h_eta(e):
+        return jnp.array([jnp.sin(0.8 * e[0]) + 0.3 * e[0]])  # terrain
+
+    c_mat = jnp.array([[0.0, 1.0]])  # sensor reads terrain + bias
+
+    def c_eta(e):
+        return c_mat
+
+    f_z = jnp.array([[0.995, 0.0], [0.0, 1.0]])  # slow velocity, const bias
+    q_eta = jnp.array([[4e-3]])
+    q_z = jnp.diag(jnp.array([1e-5, 1e-8]))
+    r_t = jnp.array([[4e-4]])
+
+    rngp = np.random.default_rng(11)
+    eta, z = np.array([0.3]), np.array([0.0, 0.15])  # true bias 0.15
+    ys_r = []
+    for _ in range(80):
+        eta = a_drift * eta + rngp.normal(0, np.sqrt(4e-3), 1)
+        ys_r.append(np.sin(0.8 * eta[0]) + 0.3 * eta[0] + z[1]
+                    + rngp.normal(0, 2e-2))
+    ys_r = jnp.asarray(np.asarray(ys_r).reshape(-1, 1))
+
+    model_r, s0_r = rbpf.new(jnp.array([0.0]), jnp.eye(1),
+                             jnp.array([0.0, 0.0]), jnp.diag(jnp.array([1e-4, 0.04])),
+                             f_z, q_eta, q_z, r_t, 1024, jax.random.PRNGKey(20))
+    _, rest = rbpf.run(model_r, s0_r, ys_r, f_eta, g_eta, h_eta, c_eta,
+                       key=jax.random.PRNGKey(21))
+    print(f"RBPF: terrain navigation, 1024 particles over 1 sampled dim; "
+          f"bias estimate {float(rest.z[-1, 1]):.3f} (true 0.150), "
+          f"ESS {float(rest.ess[-1]):.0f}")
 
     # --- ETKF: the covariance-free linear path -----------------------
     n0 = gk.noise.noiseless(jnp.zeros((2, 2)), jnp.array([[0.09]]))

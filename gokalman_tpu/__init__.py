@@ -5,7 +5,13 @@ ChristopherRabotin/gokalman: vanilla/information/square-root linear
 filters, SRIF and hybrid CKF/EKF nonlinear filters, batch least
 squares, Van Loan discretization, noise models, Monte-Carlo ensembles,
 chi-square (NEES/NIS) consistency tests, CSV export, and an orbital
-dynamics module for the orbit-determination workloads.
+dynamics module for the orbit-determination workloads — plus the
+beyond-reference tier: UKF/SR-UKF (+cubature rule), EnKF/ETKF,
+bootstrap and Rao-Blackwellized particle filters, IMM (linear and UKF
+mode banks), Huber-robust and gated updates, adaptive noise, RTS /
+unscented / fixed-lag / parallel-in-time smoothers, steady-state
+serving filters, filter-health diagnostics, and device-sharded
+ensemble pipelines.
 
 Design stance (see SURVEY.md §7): filters are pure functions
 `step(model, state, inputs) -> (state, estimate)` over pytrees;

@@ -10,7 +10,9 @@ driver, cf. examples/robot/main.go):
    Gaussian filter's unimodal posterior picks a side and the PF keeps
    both hypotheses alive.
 3. Rao-Blackwellized PF: 1-D nonlinear "terrain" position + marginal
-   KF over [velocity, sensor bias] — samples only the 1 nonlinear dim.
+   KF over [sensor bias, terrain gain error] — the PF samples only the
+   1 nonlinear dim; the eta-dependent C(eta) makes both calibration
+   states observable.
 4. ETKF on the same linear tracker, covariance-free.
 
 Run: env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu python examples/maneuvering_target.py
@@ -97,53 +99,56 @@ def main():
           f"(ESS {float(pest.ess[-1]):.0f}/4096)")
 
     # --- RBPF: terrain-aided navigation style ------------------------
-    # Position eta moves with an estimated velocity z1 through a bumpy
-    # "terrain" height sensor h(eta) (nonlinear in eta, linear in the
-    # [velocity, bias] substate z): the PF samples only eta, the
-    # per-particle KFs carry z exactly.
-    a_drift = 1.0
+    # Position eta random-walks over a bumpy "terrain"; the sensor
+    # reads y = (1 + gain_err) * terrain(eta) + bias + v, which is
+    # nonlinear in eta but LINEAR in z = [bias, gain_err]: the PF
+    # samples only eta while per-particle KFs estimate the sensor
+    # calibration exactly (the eta-dependent C(eta) is what makes both
+    # calibration states observable as the terrain varies).
+    def terrain(e):
+        return jnp.sin(0.8 * e[0]) + 0.3 * e[0]
 
     def f_eta(e):
-        return a_drift * e
+        return e  # random walk via Q_eta
 
     def g_eta(e):
         return jnp.zeros(2)
 
     def h_eta(e):
-        return jnp.array([jnp.sin(0.8 * e[0]) + 0.3 * e[0]])  # terrain
-
-    c_mat = jnp.array([[0.0, 1.0]])  # sensor reads terrain + bias
+        return jnp.array([terrain(e)])
 
     def c_eta(e):
-        return c_mat
+        return jnp.array([[1.0, terrain(e)]])  # d y / d [bias, gain_err]
 
-    f_z = jnp.array([[0.995, 0.0], [0.0, 1.0]])  # slow velocity, const bias
+    f_z = jnp.eye(2)  # constant calibration states
     q_eta = jnp.array([[4e-3]])
-    q_z = jnp.diag(jnp.array([1e-5, 1e-8]))
+    q_z = jnp.diag(jnp.array([1e-8, 1e-8]))
     r_t = jnp.array([[4e-4]])
 
     rngp = np.random.default_rng(11)
-    eta, z = np.array([0.3]), np.array([0.0, 0.15])  # true bias 0.15
+    eta_t = np.array([0.3])
+    bias_t, gain_t = 0.15, 0.08  # true calibration errors
     ys_r = []
-    for _ in range(80):
-        eta = a_drift * eta + rngp.normal(0, np.sqrt(4e-3), 1)
-        ys_r.append(np.sin(0.8 * eta[0]) + 0.3 * eta[0] + z[1]
-                    + rngp.normal(0, 2e-2))
+    for _ in range(120):
+        eta_t = eta_t + rngp.normal(0, np.sqrt(4e-3), 1)
+        terr = np.sin(0.8 * eta_t[0]) + 0.3 * eta_t[0]
+        ys_r.append((1.0 + gain_t) * terr + bias_t + rngp.normal(0, 2e-2))
     ys_r = jnp.asarray(np.asarray(ys_r).reshape(-1, 1))
 
     model_r, s0_r = rbpf.new(jnp.array([0.0]), jnp.eye(1),
-                             jnp.array([0.0, 0.0]), jnp.diag(jnp.array([1e-4, 0.04])),
+                             jnp.array([0.0, 0.0]), 0.04 * jnp.eye(2),
                              f_z, q_eta, q_z, r_t, 1024, jax.random.PRNGKey(20))
     _, rest = rbpf.run(model_r, s0_r, ys_r, f_eta, g_eta, h_eta, c_eta,
                        key=jax.random.PRNGKey(21))
     print(f"RBPF: terrain navigation, 1024 particles over 1 sampled dim; "
-          f"bias estimate {float(rest.z[-1, 1]):.3f} (true 0.150), "
+          f"calibration estimate bias={float(rest.z[-1, 0]):.3f} "
+          f"(true 0.150), gain={float(rest.z[-1, 1]):.3f} (true 0.080), "
           f"ESS {float(rest.ess[-1]):.0f}")
 
     # --- ETKF: the covariance-free linear path -----------------------
     n0 = gk.noise.noiseless(jnp.zeros((2, 2)), jnp.array([[0.09]]))
     fx_l, hx_l = enkf.linear_fns(quiet.f, quiet.h)
-    es0 = enkf.new(jnp.array([0.0, 0.4]), jnp.eye(2), 8, n0)
+    es0 = enkf.new(jnp.array([0.0, 0.4]), jnp.eye(2), 8)
     _, eest = enkf.run(n0, es0, ys, fx_l, hx_l, method="etkf")
     m2, v0 = vanilla.new(jnp.array([0.0, 0.4]), jnp.eye(2), quiet.f, None,
                          quiet.h, n0)

@@ -140,15 +140,20 @@ class AsyncCSVExporter(CSVExporter):
         from . import native
 
         while True:
-            matrix = self._q.get()
-            if matrix is None:
+            item = self._q.get()
+            if item is None:
                 return
             try:
-                text = native.format_csv(matrix)
+                if isinstance(item, str):
+                    # Raw text routed through the queue so it lands in
+                    # submission order relative to estimate rows.
+                    self._fh.write(item)
+                    continue
+                text = native.format_csv(item)
                 if text is None:
                     text = "\n".join(
                         self.delimiter.join(f"{v:f}" for v in row)
-                        for row in matrix
+                        for row in item
                     ) + "\n"
                 self._fh.write(text)
             except Exception as e:  # surfaced on close()
@@ -156,6 +161,17 @@ class AsyncCSVExporter(CSVExporter):
                 return
             finally:
                 self._q.task_done()
+
+    def _put(self, item):
+        import queue
+
+        try:
+            self._q.put(item, timeout=60)
+        except queue.Full:
+            # A dead writer leaves producers blocked: surface ITS error
+            # rather than an opaque queue.Full.
+            self._check()
+            raise
 
     def _check(self):
         if self._err is not None:
@@ -174,11 +190,21 @@ class AsyncCSVExporter(CSVExporter):
             state=np.asarray(est.state)[None],
             covariance=np.asarray(est.covariance)[None],
         )
-        self._q.put(self._trace_matrix(stacked), timeout=60)
+        self._put(self._trace_matrix(stacked))
 
     def write_all(self, ests) -> None:
         self._check()
-        self._q.put(self._trace_matrix(ests), timeout=60)
+        self._put(self._trace_matrix(ests))
+
+    def write_raw(self, s: str) -> None:
+        """Raw text through the writer queue (NOT directly to the file
+        handle): preserves ordering relative to queued estimate rows
+        and avoids interleaving with the writer thread."""
+        self._check()
+        self._put(s)
+
+    def write_raw_ln(self, s: str) -> None:
+        self.write_raw(s + "\n")
 
     def close(self) -> None:
         if self._thread.is_alive():
@@ -188,7 +214,11 @@ class AsyncCSVExporter(CSVExporter):
             err, self._err = self._err, None
             self._fh.close()
             raise err
-        super().close()
+        # Writer thread is down: write the closing stamp directly
+        # (routing through write_raw would hit the closed-queue check).
+        now = datetime.datetime.now(datetime.timezone.utc)
+        self._fh.write(f"# Closing date (UTC): {now}\n\n")
+        self._fh.close()
 
 
 def read_csv(path):

@@ -56,8 +56,9 @@ class Estimate(NamedTuple):
         return linalg.is_within_nsigma(self.state, self.covariance, n_sigma)
 
 
-def new(x0, p0, n_ens: int, noise: Noise, key=None) -> State:
-    """Initial ensemble for the filter.
+def new(x0, p0, n_ens: int, key=None) -> State:
+    """Initial ensemble for the filter (the noise model enters only at
+    step/run time — the prior draw is fully specified by (x0, P0)).
 
     With a key: X_i = x0 + L0 z_i (random draw, the Monte-Carlo stance
     of montecarlo.go:29-31).  Without: the deterministic symmetric

@@ -155,10 +155,13 @@ def step(model: Model, state: State, measurement, control=None, has=None):
     mu, log_norm = _mode_posterior(c, lls, eps)
 
     if has is not None:
-        # Masked step: keep the time-update-only bank and Markov priors.
-        xs_pred, ps_pred = jax.vmap(lambda mm, x, p: vanilla.predict(
-            mm, vanilla.State(x, p, state.k), control))(
-                model.modes, xs_mix, ps_mix)
+        # Masked step: keep the time-update-only bank and Markov
+        # priors.  The prediction is recovered from the step outputs
+        # already computed (x^- = x^+ - K innov, P^- = pred_covariance)
+        # instead of a second vmapped predict.
+        xs_pred = sts.x - jnp.einsum("mnp,mp->mn", ests.gain,
+                                     ests.innovation)
+        ps_pred = ests.pred_covariance
         xs_new = jnp.where(has, sts.x, xs_pred)
         ps_new = jnp.where(has, sts.p, ps_pred)
         mu = jnp.where(has, mu, c)

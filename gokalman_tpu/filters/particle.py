@@ -159,6 +159,7 @@ def effective_sample_size(log_weights: jax.Array) -> jax.Array:
     return jnp.exp(-jax.scipy.special.logsumexp(2.0 * lw))
 
 
+@linalg.highp
 def step(state: State, measurement, propagate: Callable, loglik: Callable,
          key: jax.Array, control=None, resample_threshold: float = 0.5,
          has=None, member_offset=0, n_total=None, axis_name=None):
@@ -198,6 +199,10 @@ def step(state: State, measurement, propagate: Callable, loglik: Callable,
     # Incremental evidence: logsumexp of (normalized prev + loglik).
     log_inc = _global_logsumexp(lw, axis_name)
     lw = lw - log_inc
+    if has is not None:
+        # Masked step carries exactly zero evidence (the computed
+        # logsumexp of re-normalized weights is only zero to roundoff).
+        log_inc = jnp.where(has, log_inc, jnp.zeros_like(log_inc))
 
     w = jnp.exp(lw)
     mean = _psum(w @ pts, axis_name)
@@ -246,6 +251,7 @@ def step(state: State, measurement, propagate: Callable, loglik: Callable,
     return State(pts, lw, state.k + 1), est
 
 
+@linalg.highp
 def run(state: State, measurements, propagate: Callable, loglik: Callable,
         key: jax.Array, controls=None, meas_masks=None,
         resample_threshold: float = 0.5):

@@ -149,6 +149,8 @@ def step(model: Model, state: State, measurement, f_eta: Callable,
     lw = state.log_weights + lls
     log_inc = jax.scipy.special.logsumexp(lw)
     lw = lw - log_inc
+    if has is not None:
+        log_inc = jnp.where(has, log_inc, jnp.zeros_like(log_inc))
 
     # 4. Rao-Blackwellized moments.
     w = jnp.exp(lw)

@@ -427,7 +427,7 @@ def run_enkf_od(
     times = t0 + dt * jnp.arange(1, steps + 1, dtype=dtype)
 
     k_init, k_run = jax.random.split(jnp.asarray(key))
-    state0 = enkf.new(x0_ref, jnp.asarray(p0), n_ens, noise, key=k_init)
+    state0 = enkf.new(x0_ref, jnp.asarray(p0), n_ens, key=k_init)
     step_keys = jax.random.split(k_run, steps)
 
     def body(carry, xs):

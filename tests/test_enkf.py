@@ -49,7 +49,7 @@ def test_etkf_equals_kf_noise_free_dynamics():
     _, kf_est = gk.vanilla.run(model, st, measurements=ys)
 
     fx, hx = enkf.linear_fns(f, h)
-    state0 = enkf.new(x0, p0, 8, noise0)
+    state0 = enkf.new(x0, p0, 8)
     _, est = enkf.run(noise0, state0, ys, fx, hx, method="etkf")
 
     np.testing.assert_allclose(est.state, kf_est.state, atol=1e-8)
@@ -62,7 +62,7 @@ def test_etkf_masked_step_is_pure_forecast():
     f, h, q, r, x0, p0 = _system()
     noise0 = gk.noise.noiseless(jnp.zeros_like(q), r)
     fx, hx = enkf.linear_fns(f, h)
-    state0 = enkf.new(x0, p0, 8, noise0)
+    state0 = enkf.new(x0, p0, 8)
     st1, est = enkf.step_etkf(noise0, state0, jnp.array([0.7]), fx, hx,
                               has=jnp.array(False))
     # Forecast-only: mean = F x0, covariance = F P0 Fᵀ.
@@ -83,7 +83,7 @@ def test_stochastic_enkf_tracks_kf():
     _, kf_est = gk.vanilla.run(model, st, measurements=ys)
 
     fx, hx = enkf.linear_fns(f, h)
-    state0 = enkf.new(x0, p0, 4096, noise, key=jax.random.PRNGKey(1))
+    state0 = enkf.new(x0, p0, 4096, key=jax.random.PRNGKey(1))
     _, est = enkf.run(noise, state0, ys, fx, hx, key=jax.random.PRNGKey(2))
 
     scale = jnp.sqrt(jnp.diagonal(kf_est.covariance, axis1=1, axis2=2))
@@ -101,7 +101,7 @@ def test_stochastic_enkf_masked_and_reproducible():
     fx, hx = enkf.linear_fns(f, h)
     ys = _measurements(t=10)
     masks = jnp.array([True, True, False, True, False] * 2)
-    state0 = enkf.new(x0, p0, 64, noise, key=jax.random.PRNGKey(0))
+    state0 = enkf.new(x0, p0, 64, key=jax.random.PRNGKey(0))
     _, a = enkf.run(noise, state0, ys, fx, hx, key=jax.random.PRNGKey(7),
                     meas_masks=masks)
     _, b = enkf.run(noise, state0, ys, fx, hx, key=jax.random.PRNGKey(7),
@@ -135,7 +135,7 @@ def test_localization_suppresses_spurious_correlations():
     hx = lambda x: x[:1]
     x0 = jnp.zeros(n)
     p0 = jnp.eye(n)
-    state0 = enkf.new(x0, p0, 16, noise, key=jax.random.PRNGKey(3))
+    state0 = enkf.new(x0, p0, 16, key=jax.random.PRNGKey(3))
 
     dist = jnp.abs(jnp.arange(n, dtype=jnp.float64))
     loc_xy = enkf.gaspari_cohn(dist, 3.0)[:, None]  # [n, 1]
@@ -153,7 +153,7 @@ def test_inflation_scales_forecast_spread():
     f, h, q, r, x0, p0 = _system()
     noise0 = gk.noise.noiseless(jnp.zeros_like(q), r)
     fx, hx = enkf.linear_fns(f, h)
-    state0 = enkf.new(x0, p0, 8, noise0)
+    state0 = enkf.new(x0, p0, 8)
     _, e1 = enkf.step_etkf(noise0, state0, jnp.array([0.3]), fx, hx)
     _, e2 = enkf.step_etkf(noise0, state0, jnp.array([0.3]), fx, hx,
                            inflation=1.5)
@@ -190,7 +190,7 @@ def test_enkf_nonlinear_converges():
     err0 = float(jnp.linalg.norm(x0 - true0))
     for method, key in [("stochastic", jax.random.PRNGKey(11)),
                         ("etkf", None)]:
-        state0 = enkf.new(x0, p0, 128, noise, key=jax.random.PRNGKey(6))
+        state0 = enkf.new(x0, p0, 128, key=jax.random.PRNGKey(6))
         _, est = enkf.run(noise, state0, ys, fx, hx, key=key, method=method)
         err = float(jnp.linalg.norm(est.state[-1] - truth[-1]))
         assert err < err0 / 5, (method, err, err0)
@@ -203,7 +203,7 @@ def test_etkf_masked_step_does_not_inflate():
     f, h, q, r, x0, p0 = _system()
     noise0 = gk.noise.noiseless(jnp.zeros_like(q), r)
     fx, hx = enkf.linear_fns(f, h)
-    state0 = enkf.new(x0, p0, 8, noise0)
+    state0 = enkf.new(x0, p0, 8)
     _, est = enkf.step_etkf(noise0, state0, jnp.array([0.3]), fx, hx,
                             inflation=2.0, has=jnp.array(False))
     np.testing.assert_allclose(est.pred_covariance, f @ p0 @ f.T, atol=1e-10)

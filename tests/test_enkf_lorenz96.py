@@ -70,7 +70,7 @@ def test_localized_enkf_tracks_lorenz96():
     p0 = 4.0 * jnp.eye(N_STATE)
 
     def run(loc):
-        s0 = enkf.new(x0, p0, 24, noise, key=jax.random.PRNGKey(2))
+        s0 = enkf.new(x0, p0, 24, key=jax.random.PRNGKey(2))
         _, est = enkf.run(
             noise, s0, ys, l96_step, hx, key=jax.random.PRNGKey(3),
             inflation=1.08,

@@ -109,7 +109,7 @@ def test_etkf_and_cubature_match_kf_on_random_systems(seed, n, p):
     _, ve = vanilla.run(vm, vs, measurements=ys)
 
     fx, hx = enkf.linear_fns(fj, hj)
-    es = enkf.new(x0j, p0j, 2 * n + 2, nz)
+    es = enkf.new(x0j, p0j, 2 * n + 2)
     _, ee = enkf.run(nz, es, ys, fx, hx, method="etkf")
     np.testing.assert_allclose(np.asarray(ee.state), np.asarray(ve.state),
                                rtol=1e-6, atol=1e-7)

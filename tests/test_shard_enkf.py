@@ -27,7 +27,7 @@ def test_sharded_enkf_equals_unsharded_exactly():
     noise, fx, hx, ys, x0, p0 = _setup()
     key = jax.random.PRNGKey(9)
     k_init, k_run = jax.random.split(key)
-    s0 = enkf.new(x0, p0, 64, noise, key=k_init)
+    s0 = enkf.new(x0, p0, 64, key=k_init)
     _, ref = enkf.run(noise, s0, ys, fx, hx, key=k_run)
 
     mesh = pmesh.ensemble_mesh(jax.devices()[:8])
@@ -50,7 +50,7 @@ def test_sharded_enkf_masked_and_inflated():
     key = jax.random.PRNGKey(3)
     masks = jnp.array([True, False] * 6)
     k_init, k_run = jax.random.split(key)
-    s0 = enkf.new(x0, p0, 32, noise, key=k_init)
+    s0 = enkf.new(x0, p0, 32, key=k_init)
     _, ref = enkf.run(noise, s0, ys, fx, hx, key=k_run, inflation=1.1,
                       meas_masks=masks)
     mesh = pmesh.ensemble_mesh(jax.devices()[:8])

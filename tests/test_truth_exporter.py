@@ -151,3 +151,29 @@ def test_async_exporter_closed_raises(tmp_path):
     e.close()
     with pytest.raises(RuntimeError):
         e.write_all(None)
+
+
+def test_async_exporter_raw_writes_stay_ordered(tmp_path):
+    """write_raw goes through the writer queue, so annotations land in
+    submission order relative to queued estimate rows."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gokalman_tpu import exporter
+    from gokalman_tpu import noise as gn
+    from gokalman_tpu.filters import vanilla
+
+    f = jnp.array([[1.0, 0.1], [0.0, 1.0]])
+    h = jnp.array([[1.0, 0.0]])
+    model, st = vanilla.new(jnp.zeros(2), jnp.eye(2), f, None, h,
+                            gn.noiseless(0.01 * jnp.eye(2), jnp.eye(1)))
+    ys = jnp.asarray(np.random.default_rng(0).standard_normal((200, 1)))
+    _, ests = vanilla.run(model, st, measurements=ys)
+
+    with exporter.AsyncCSVExporter(["x", "v"], tmp_path, "o.csv", 2.0) as e:
+        e.write_all(ests)           # enqueue 200 rows
+        e.write_raw_ln("#MARK")     # must land AFTER them
+    lines = [l.strip() for l in open(tmp_path / "o.csv")
+             if l.strip() and not l.startswith("# ")]
+    assert lines[-1] == "#MARK", lines[-3:]
+    assert len(lines) == 202  # header + 200 rows + marker

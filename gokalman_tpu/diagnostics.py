@@ -78,8 +78,11 @@ def innovation_whiteness(innovations, lags: int = 10,
         raise ValueError(f"need more than lags={lags} samples, got {t}")
     yc = y - jnp.mean(y, axis=0, keepdims=True)
     # Decorrelate components: z = L^{-1} yc with L L^T the sample cov.
-    cov = yc.T @ yc / (t - 1) + 1e-300 * jnp.eye(p, dtype=y.dtype)
-    l = jnp.linalg.cholesky(cov)
+    # Scale-aware jitter keeps the Cholesky finite when a component is
+    # (near-)constant — e.g. a fully-masked padded measurement row.
+    cov = yc.T @ yc / (t - 1)
+    jitter = 1e-9 * (jnp.trace(cov) / p) + 1e-30
+    l = jnp.linalg.cholesky(cov + jitter * jnp.eye(p, dtype=y.dtype))
     yc = jax.scipy.linalg.solve_triangular(l, yc.T, lower=True).T
     denom = jnp.sum(yc * yc, axis=0)  # [p]
 

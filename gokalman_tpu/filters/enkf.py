@@ -57,13 +57,11 @@ class Estimate(NamedTuple):
 
 
 def new(x0, p0, n_ens: int, key=None) -> State:
-    """Initial ensemble for the filter (the noise model enters only at
-    step/run time — the prior draw is fully specified by (x0, P0)).
-
-    With a key: X_i = x0 + L0 z_i (random draw, the Monte-Carlo stance
-    of montecarlo.go:29-31).  Without: the deterministic symmetric
-    ensemble of `deterministic_ensemble`, whose sample mean/covariance
-    equal (x0, P0) *exactly* — the right choice for ETKF parity runs.
+    """Initial ensemble: with a key, X_i = x0 + L0 z_i (random draws,
+    montecarlo.go:29-31); without, the exact-moment deterministic
+    symmetric ensemble (the right choice for ETKF parity runs).  The
+    noise model enters only at step/run time — the prior draw is fully
+    specified by (x0, P0).
     """
     x0 = jnp.asarray(x0)
     p0 = jnp.asarray(p0)

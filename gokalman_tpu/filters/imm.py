@@ -51,7 +51,7 @@ class Estimate(NamedTuple):
         return linalg.is_within_nsigma(self.state, self.covariance, n_sigma)
 
 
-def _bank_init(models, trans, x0, p0, mu0, mode_count: int):
+def _bank_init(trans, x0, p0, mu0, mode_count: int):
     """Shared constructor validation/state for both mode-bank flavors."""
     trans = jnp.asarray(trans)
     m = trans.shape[0]
@@ -107,7 +107,7 @@ def new(x0, p0, models, trans, mu0=None):
     probabilities (uniform by default).  All modes share (x0, P0)."""
     if isinstance(models, (list, tuple)):
         models = jax.tree.map(lambda *xs: jnp.stack(xs), *models)
-    trans, state = _bank_init(models, trans, x0, p0, mu0,
+    trans, state = _bank_init(trans, x0, p0, mu0,
                               int(models.f.shape[0]))
     return Model(models, trans), state
 
@@ -156,11 +156,20 @@ def step(model: Model, state: State, measurement, control=None, has=None):
 
     if has is not None:
         # Masked step: keep the time-update-only bank and Markov
-        # priors.  The prediction is recovered from the step outputs
-        # already computed (x^- = x^+ - K innov, P^- = pred_covariance)
-        # instead of a second vmapped predict.
-        xs_pred = sts.x - jnp.einsum("mnp,mp->mn", ests.gain,
-                                     ests.innovation)
+        # priors.  The mean prediction is recomputed from the mixed
+        # prior rather than recovered as x^+ - K innov: the subtraction
+        # form would re-introduce measurement-value dependence
+        # (catastrophic cancellation with large padded innovations, or
+        # NaN propagation from NaN-padded measurements) on a path that
+        # must be measurement-independent.  P^- is reused from the
+        # step's own output (measurement-free by construction).
+        def mode_x_pred(mode_model, x):
+            xp = mode_model.f @ x
+            if control is not None and mode_model.g is not None:
+                xp = xp + mode_model.g @ control
+            return xp
+
+        xs_pred = jax.vmap(mode_x_pred)(model.modes, xs_mix)
         ps_pred = ests.pred_covariance
         xs_new = jnp.where(has, sts.x, xs_pred)
         ps_new = jnp.where(has, sts.p, ps_pred)
@@ -208,7 +217,7 @@ def new_ukf(x0, p0, models, trans, mu0=None):
     setup.  Same contract as `new` otherwise."""
     if isinstance(models, (list, tuple)):
         models = jax.tree.map(lambda *xs: jnp.stack(xs), *models)
-    trans, state = _bank_init(models, trans, x0, p0, mu0,
+    trans, state = _bank_init(trans, x0, p0, mu0,
                               int(models.noise.q.shape[0]))
     return UKFModel(models, trans), state
 

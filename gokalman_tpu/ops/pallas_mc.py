@@ -45,22 +45,28 @@ TILE = 8192  # default ensemble members per grid program
 
 
 def _sincos_turns(u):
-    """(cos 2πu, sin 2πu) for u in [0, 1) via quadrant-select degree-7
-    minimax polynomials — measured 2.05x faster than Mosaic's builtin
-    cos+sin pair IN SITU (7030 -> 3420 ns/program-step on the full
-    98304x1000 kernel): the builtin pays a general range reduction the
-    turns parameterization never needs.  |error| < ~1e-7, i.e. the
-    Box-Muller output stays exact Gaussian far below any statistical
-    resolution (the hardware moment/tail gates see nothing at n=5e5).
+    """(cos 2πu, sin 2πu) for u in [0, 1) via quadrant-select
+    polynomials — measured ~2x faster than Mosaic's builtin cos+sin
+    pair IN SITU (7030 -> ~3400 ns/program-step on the full 98304x1000
+    kernel): the builtin pays a general range reduction the turns
+    parameterization never needs.
+
+    Coefficients are an endpoint-CONSTRAINED weighted least-squares fit
+    of sin/cos(π/2 x) on x in [0, 1] (degree 9 odd / 8 even): max
+    |error| = 2.1e-7 in f32 with s(1)=1 and c(1)=6e-8 held exactly, so
+    the quadrant handoff is continuous.  The Box-Muller output stays
+    exact Gaussian far below any statistical resolution (hardware
+    moment + deep-tail gates at n=4.2M see nothing).
     """
     t4 = 4.0 * u  # quarter-turns in [0, 4)
     q = jnp.floor(t4)
     x = t4 - q  # [0, 1) within the quadrant
     x2 = x * x
-    sp = x * (1.5707963050 + x2 * (-0.6459640975
-         + x2 * (0.0796926262 + x2 * (-0.0046817541))))
-    cp = 1.0 + x2 * (-1.2337005501 + x2 * (0.2536695079
-         + x2 * (-0.0208634807)))
+    sp = x * (1.5707963257 + x2 * (-0.6459638093
+         + x2 * (0.0796899578 + x2 * (-0.0046740125
+         + x2 * 0.0001515384))))
+    cp = 1.0 + x2 * (-1.2336986638 + x2 * (0.2536513764
+         + x2 * (-0.0208101642 + x2 * 0.0008574517)))
     qi = q.astype(jnp.int32)
     swap = (qi & 1) == 1
     c0 = jnp.where(swap, sp, cp)

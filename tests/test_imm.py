@@ -210,3 +210,34 @@ def test_imm_bank_vmaps_over_targets():
     # Each bank entry equals the standalone run.
     _, solo = imm.run(im, ist, ys[3])
     np.testing.assert_allclose(bank.state[3], solo.state, atol=1e-12)
+
+
+def test_imm_ukf_cubature_matches_linear_imm_on_linear_system():
+    """Cross-tier equivalence: a UKF-mode IMM with cubature params on a
+    LINEAR system equals the linear-mode IMM exactly (the rule is exact
+    for affine maps, so the whole mixing/likelihood cycle matches)."""
+    from gokalman_tpu.filters import ukf
+
+    quiet = _cv_model(1e-4)
+    agile = _cv_model(1.0)
+    trans = jnp.array([[0.95, 0.05], [0.1, 0.9]])
+    rng = np.random.default_rng(2)
+    ys = jnp.asarray(rng.standard_normal((25, 1)))
+    x0, p0 = jnp.array([0.1, 0.2]), jnp.eye(2)
+
+    im_l, ist_l = imm.new(x0, p0, [quiet, agile], trans)
+    _, el = imm.run(im_l, ist_l, ys)
+
+    prm = ukf.cubature_params()._asdict()
+    uq, _ = ukf.new(x0, p0, quiet.noise, **prm)
+    ua, _ = ukf.new(x0, p0, agile.noise, **prm)
+    im_u, ist_u = imm.new_ukf(x0, p0, [uq, ua], trans)
+    fx = lambda x: quiet.f @ x
+    hx = lambda x: quiet.h @ x
+    _, eu = imm.run_ukf(im_u, ist_u, ys, fx, hx)
+
+    np.testing.assert_allclose(eu.state, el.state, atol=1e-9)
+    np.testing.assert_allclose(eu.covariance, el.covariance, atol=1e-9)
+    np.testing.assert_allclose(eu.mode_probs, el.mode_probs, atol=1e-9)
+    np.testing.assert_allclose(eu.log_likelihood, el.log_likelihood,
+                               atol=1e-9)

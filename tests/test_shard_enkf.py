@@ -66,3 +66,20 @@ def test_sharded_enkf_rejects_bad_split():
     with pytest.raises(ValueError):
         pmesh.sharded_enkf_run(noise, x0, p0, 30, ys, fx, hx,
                                jax.random.PRNGKey(0), mesh)
+
+
+def test_sharded_enkf_localization_passthrough():
+    """Gaspari-Cohn tapers shard transparently (applied to the psum'd
+    covariance blocks): sharded == unsharded with localization on."""
+    noise, fx, hx, ys, x0, p0 = _setup()
+    dist = jnp.array([0.0, 1.0])
+    loc_xy = enkf.gaspari_cohn(dist, 0.4)[:, None]  # 2c=0.8: row 1 -> 0
+    key = jax.random.PRNGKey(21)
+    k_init, k_run = jax.random.split(key)
+    s0 = enkf.new(x0, p0, 32, key=k_init)
+    _, ref = enkf.run(noise, s0, ys, fx, hx, key=k_run, loc_xy=loc_xy)
+    mesh = pmesh.ensemble_mesh(jax.devices()[:8])
+    _, est = pmesh.sharded_enkf_run(noise, x0, p0, 32, ys, fx, hx, key, mesh,
+                                    loc_xy=loc_xy)
+    np.testing.assert_allclose(est.state, ref.state, atol=1e-12)
+    np.testing.assert_allclose(est.gain[:, 1], 0.0, atol=0)  # tapered out

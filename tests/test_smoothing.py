@@ -201,3 +201,36 @@ def test_fixed_lag_smoother_brackets_filter_and_rts():
     # Monotone improvement: lag-4 covariance trace between filter & RTS.
     tr = lambda p: float(jnp.mean(jnp.trace(p, axis1=1, axis2=2)))
     assert tr(p_full) <= tr(pl) <= tr(ests.covariance) + 1e-12
+
+
+def test_fixed_lag_smoother_time_varying_phis():
+    """Fixed-lag on genuinely time-varying transitions equals the
+    truncated-data time-varying RTS at every probe index."""
+    rng = np.random.default_rng(4)
+    t = 18
+    phis = jnp.asarray(np.stack([
+        np.eye(2) + 0.05 * rng.standard_normal((2, 2)) for _ in range(t)
+    ]))
+    q = jnp.diag(jnp.array([1e-4, 2e-3]))
+    h = jnp.array([[1.0, 0.0]])
+    r = jnp.array([[0.04]])
+    x = jnp.array([0.2, -0.1])
+    p = jnp.eye(2)
+    means, covs = [], []
+    st = None
+    from gokalman_tpu.filters import vanilla as v
+    for k in range(t):
+        model, st0 = v.new(x, p, phis[k], None, h, gn.noiseless(q, r))
+        st = st0 if st is None else st
+        st, est = v.step(model, st, jnp.asarray([0.3 + 0.01 * k]))
+        means.append(est.state); covs.append(est.covariance)
+    means = jnp.stack(means); covs = jnp.stack(covs)
+
+    lag = 5
+    xl, pl = smoothing.fixed_lag_smoother(phis, q, means, covs, lag)
+    for k in (0, 4, 9, 12):
+        xr, pr = smoothing.rts_smoother(phis[: k + lag + 1], q,
+                                        means[: k + lag + 1],
+                                        covs[: k + lag + 1])
+        np.testing.assert_allclose(xl[k], xr[k], atol=1e-10)
+        np.testing.assert_allclose(pl[k], pr[k], atol=1e-10)

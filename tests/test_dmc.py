@@ -92,3 +92,29 @@ def test_dmc_rejects_conflicting_options():
             traj.states[0], jnp.eye(6), noise, ms, dt, stations_list=sts,
             dmc_tau=100.0,
         )
+
+
+def test_dmc_composes_with_nis_gating():
+    """Option cross-product: DMC + chi-square innovation gating run
+    together (gate evaluated in the 9-state space) without shape
+    errors, and clean measurements are accepted."""
+    import jax.numpy as jnp
+
+    x0_truth, sts, dt, traj, ms = _scenario()
+    import numpy as np
+    has = np.asarray(ms.has_meas)
+    assert has.any()
+    first = max(int(np.argmax(has)), 1)
+    sl = slice(first, min(first + 600, len(has)))
+    ms2 = MeasurementSet(ms.obs[sl], ms.htildes[sl], ms.has_meas[sl],
+                         ms.station_idx[sl])
+    noise = gn.noiseless(jnp.zeros((3, 3)), jnp.diag(jnp.array([1e-6, 1e-10])))
+    res = od.run_hybrid_od(
+        traj.states[first - 1], jnp.eye(6), noise, ms2, dt,
+        stations_list=sts, degree=2, t0=float(traj.times[first - 1]),
+        dmc_tau=3000.0, dmc_sigma=1e-9, nis_gate=50.0,
+    )
+    assert res.est_states.shape[1] == 9
+    acc = np.asarray(res.accepted)
+    m = np.asarray(ms2.has_meas)
+    assert acc[m].mean() > 0.9  # clean data mostly accepted

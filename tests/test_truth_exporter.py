@@ -177,3 +177,23 @@ def test_async_exporter_raw_writes_stay_ordered(tmp_path):
              if l.strip() and not l.startswith("# ")]
     assert lines[-1] == "#MARK", lines[-3:]
     assert len(lines) == 202  # header + 200 rows + marker
+
+
+def test_async_exporter_surfaces_writer_errors(tmp_path):
+    """An I/O failure in the writer thread surfaces as the original
+    exception at the next API call or close(), never a silent loss."""
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+
+    from gokalman_tpu import exporter
+
+    e = exporter.AsyncCSVExporter(["x"], tmp_path, "err.csv", 2.0)
+    e._fh.close()  # simulate the underlying stream dying
+    import types
+
+    est = types.SimpleNamespace(state=np.zeros(1), covariance=np.eye(1))
+    e.write(est)  # enqueued; writer hits ValueError on closed file
+    e._thread.join(timeout=10)
+    with pytest.raises(ValueError):
+        e.close()

@@ -291,3 +291,51 @@ def test_cubature_params_reproduce_spherical_radial_rule():
     _, kf_est = vanilla.run(vm, vst, measurements=ys)
     np.testing.assert_allclose(u_est.state, kf_est.state, atol=1e-9)
     np.testing.assert_allclose(u_est.covariance, kf_est.covariance, atol=1e-9)
+
+
+def test_urts_with_controls_matches_linear_rts():
+    """The smoother's controls alignment (controls[k+1] drives k->k+1)
+    against the linear RTS on a controlled affine system."""
+    import numpy as np
+
+    from gokalman_tpu.filters import smoothing
+
+    f = jnp.array([[1.0, 0.1], [0.0, 1.0]])
+    g = jnp.array([[0.005], [0.1]])
+    h = jnp.array([[1.0, 0.0]])
+    q = jnp.diag(jnp.array([1e-4, 1e-3]))
+    r = jnp.array([[0.05]])
+    noise = gn.awgn(q, r)
+    rng = np.random.default_rng(8)
+    t = 20
+    ys = jnp.asarray(0.3 * rng.standard_normal((t, 1)))
+    us = jnp.asarray(rng.standard_normal((t, 1)))
+
+    fx = lambda x, u: f @ x + g @ u
+    hx = lambda x: h @ x
+    model, st = ukf.new(jnp.zeros(2), jnp.eye(2), noise)
+    _, ests = ukf.run(model, st, ys, fx, hx, controls=us)
+    xs_u, ps_u = ukf.rts_smoother(model, ests.state, ests.covariance, fx,
+                                  controls=us)
+    # Linear RTS: the control enters the prediction mean; for affine
+    # systems the RTS gain/covariance are control-independent, and the
+    # mean recursion matches because x_next - x_pred subtracts it out.
+    phis = jnp.broadcast_to(f, (t, 2, 2))
+    xs_l, ps_l = smoothing.rts_smoother(phis, q, ests.state,
+                                        ests.covariance)
+    np.testing.assert_allclose(ps_u, ps_l, atol=1e-9)
+    # Means: URTS subtracts x_pred = f x + g u; the linear RTS predicts
+    # f x only, so they differ unless the control term cancels — the
+    # correct smoother is the URTS one.  Verify it against an explicit
+    # per-step backward recursion with controls.
+    x_sm = [None] * t
+    p_sm = [None] * t
+    x_sm[-1], p_sm[-1] = ests.state[-1], ests.covariance[-1]
+    for k in range(t - 2, -1, -1):
+        x_k, p_k = ests.state[k], ests.covariance[k]
+        x_pred = f @ x_k + g @ us[k + 1]
+        p_pred = f @ p_k @ f.T + q
+        c = jnp.linalg.solve(p_pred, (f @ p_k.T)).T
+        x_sm[k] = x_k + c @ (x_sm[k + 1] - x_pred)
+        p_sm[k] = p_k + c @ (p_sm[k + 1] - p_pred) @ c.T
+    np.testing.assert_allclose(xs_u, jnp.stack(x_sm), atol=1e-8)

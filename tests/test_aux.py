@@ -57,3 +57,32 @@ def test_summaries():
     assert "s=" in s and "P=" in s and "K=" in s
     m = types.model_summary(model)
     assert "F=" in m and "Q=" in m and "R=" in m
+
+
+def test_estimate_summary_covers_new_estimate_types():
+    """The duck-typed pretty-printer works across the whole estimator
+    zoo (skips absent fields instead of raising)."""
+    import jax
+    import numpy as np
+
+    import gokalman_tpu as gk
+    from gokalman_tpu.filters import enkf, particle, vanilla
+
+    f = jnp.array([[1.0, 0.1], [0.0, 1.0]])
+    h = jnp.array([[1.0, 0.0]])
+    noise = gk.noise.awgn(1e-3 * jnp.eye(2), jnp.array([[0.05]]))
+    ys = jnp.asarray(np.zeros((3, 1)))
+
+    model, st = vanilla.new(jnp.zeros(2), jnp.eye(2), f, None, h, noise)
+    _, ve = vanilla.step(model, st, ys[0])
+    fx, hx = enkf.linear_fns(f, h)
+    es = enkf.new(jnp.zeros(2), jnp.eye(2), 16, key=jax.random.PRNGKey(0))
+    _, ee = enkf.step(noise, es, ys[0], fx, hx, jax.random.PRNGKey(1))
+    ps = particle.new(jnp.zeros(2), jnp.eye(2), 32, jax.random.PRNGKey(2))
+    prop = particle.additive_dynamics(lambda x: f @ x, noise)
+    ll = particle.gaussian_log_likelihood(lambda x: h @ x, noise)
+    _, pe = particle.step(ps, ys[0], prop, ll, jax.random.PRNGKey(3))
+
+    for est in (ve, ee, pe):
+        s = gk.types.estimate_summary(est)
+        assert isinstance(s, str) and "{" in s and len(s) > 10

@@ -63,3 +63,18 @@ def test_robust_covariance_inflated_on_outlier_step():
     _, plain = vanilla.run(model, st, measurements=ys)
     _, rob, _ = vanilla.run_robust(model, st, ys)
     assert float(rob.covariance[2, 0, 0]) > float(plain.covariance[2, 0, 0])
+
+
+def test_robust_bank_vmaps():
+    """Serving posture: a robust-tracker bank is one vmap over streams."""
+    import jax
+
+    model, st = _system()
+    rng = np.random.default_rng(4)
+    ys = jnp.asarray(rng.standard_normal((8, 25, 1)) * 0.1)
+    ys = ys.at[:, 12, 0].add(5.0)  # spike in every stream
+    _, ests, ws = jax.vmap(lambda y: vanilla.run_robust(model, st, y))(ys)
+    assert ests.state.shape == (8, 25, 2)
+    assert float(jnp.max(ws[:, 12, 0])) < 0.1  # every spike down-weighted
+    _, solo, _ = vanilla.run_robust(model, st, ys[2])
+    np.testing.assert_allclose(ests.state[2], solo.state, atol=1e-12)

@@ -114,3 +114,53 @@ def test_whiteness_guard_and_correlated_components():
                        axis=1)
     res = diagnostics.innovation_whiteness(jnp.asarray(y))
     assert bool(res.passed), float(res.statistic)
+
+
+def test_whiteness_on_consistent_ukf_innovations():
+    """Cross-module: a well-tuned UKF's innovations on a nonlinear
+    system pass the whiteness test (the toolkit is filter-agnostic)."""
+    from gokalman_tpu.filters import ukf
+
+    dt = 0.1
+
+    def fx(x):
+        return jnp.array([x[0] + dt * x[1], 0.995 * x[1]])
+
+    def hx(x):
+        return jnp.array([jnp.sqrt(1.0 + x[0] ** 2)])
+
+    q = jnp.diag(jnp.array([1e-5, 1e-4]))
+    r = jnp.array([[1e-3]])
+    rng = np.random.default_rng(12)
+    x = np.array([0.5, 0.3])
+    ys = []
+    for _ in range(400):
+        w = rng.multivariate_normal(np.zeros(2), np.asarray(q))
+        x = np.array([x[0] + dt * x[1], 0.995 * x[1]]) + w
+        ys.append(np.sqrt(1.0 + x[0] ** 2) + rng.standard_normal()
+                  * np.sqrt(r[0, 0]))
+    ys = jnp.asarray(np.asarray(ys).reshape(-1, 1))
+    model, st = ukf.new(jnp.array([0.5, 0.3]), 0.1 * jnp.eye(2),
+                        gk.noise.noiseless(q, r))
+    _, ests = ukf.run(model, st, ys, fx, hx)
+    res = diagnostics.innovation_whiteness(ests.innovation[50:])
+    assert bool(res.passed), (float(res.statistic), res.threshold)
+
+
+def test_divergence_onset_on_filter_run():
+    """End-to-end: corrupt R mid-arc in the data stream; the online
+    detector localizes the onset from the filter's own NIS trace."""
+    ests = _run(t=600)
+    f = jnp.array([[1.0, 0.1], [0.0, 1.0]])
+    h = jnp.array([[1.0, 0.0]])
+    # NIS = innov^2 / S with S from the filter's predicted covariance.
+    s = (jnp.einsum("tij,tjk,lk->til",
+                    jnp.broadcast_to(h, (600, 1, 2)),
+                    ests.pred_covariance,
+                    h) + 0.04)[:, 0, 0]
+    nis = ests.innovation[:, 0] ** 2 / s
+    # Corrupt the second half: measurement noise suddenly 5x sigma.
+    nis_bad = nis.at[300:].mul(25.0)
+    k = int(diagnostics.divergence_onset(nis_bad, 1, window=25))
+    assert 300 <= k <= 360, k
+    assert int(diagnostics.divergence_onset(nis, 1, window=25)) == -1

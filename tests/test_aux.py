@@ -86,3 +86,29 @@ def test_estimate_summary_covers_new_estimate_types():
     for est in (ve, ee, pe):
         s = gk.types.estimate_summary(est)
         assert isinstance(s, str) and "{" in s and len(s) > 10
+
+
+def test_checkpoint_roundtrips_ensemble_and_particle_states(tmp_path):
+    """The generic pytree checkpoint handles the new filter-state
+    shapes (ensemble clouds, particle weights, RBPF joint particles)
+    exactly — mid-run save/restore of any estimator in the zoo."""
+    import jax
+    import numpy as np
+
+    import gokalman_tpu as gk
+    from gokalman_tpu import checkpoint
+    from gokalman_tpu.filters import enkf, particle, rbpf
+
+    es = enkf.new(jnp.arange(3.0), jnp.eye(3), 16,
+                  key=jax.random.PRNGKey(0))
+    ps = particle.new(jnp.arange(2.0), jnp.eye(2), 64, jax.random.PRNGKey(1))
+    _, rs = rbpf.new(jnp.zeros(1), jnp.eye(1), jnp.zeros(2), jnp.eye(2),
+                     jnp.eye(2), jnp.eye(1), jnp.eye(2), jnp.eye(1),
+                     32, jax.random.PRNGKey(2))
+
+    for name, state in (("enkf", es), ("pf", ps), ("rbpf", rs)):
+        p = str(tmp_path / name)
+        checkpoint.save(p, state)
+        back = checkpoint.restore(p, state)
+        for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(back)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

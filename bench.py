@@ -137,10 +137,11 @@ def main():
         # Two-point slope: sustained per-experiment cost with the fixed
         # per-call dispatch+read overhead of this backend subtracted.
         r_lo, r_hi = 1, 5
+        n_exact, n_fast = 6, 4  # timings per arm (lo + hi each)
         hi = make_pipeline(r_hi)
         jax.block_until_ready(hi(jnp.int32(0)))  # compile
-        t_lo = min(timed(pipeline, jnp.int32(s)) for s in keys[:6])
-        t_hi = min(timed(hi, jnp.int32(s)) for s in keys[:6])
+        t_lo = min(timed(pipeline, jnp.int32(s)) for s in keys[:n_exact])
+        t_hi = min(timed(hi, jnp.int32(s)) for s in keys[:n_exact])
         marginal = max((t_hi - t_lo) / (r_hi - r_lo), 1e-9)
         # Secondary datapoint: the arithmetic-only fast_rng generator
         # (exact mean/var/skew, kurtosis -0.082; NEES/NIS means are
@@ -149,8 +150,8 @@ def main():
         # exact Box-Muller path.
         f_lo, f_hi = make_pipeline(r_lo, True), make_pipeline(r_hi, True)
         jax.block_until_ready(f_hi(jnp.int32(0)))
-        tf_lo = min(timed(f_lo, jnp.int32(s)) for s in keys[:4])
-        tf_hi = min(timed(f_hi, jnp.int32(s)) for s in keys[:4])
+        tf_lo = min(timed(f_lo, jnp.int32(s)) for s in keys[:n_fast])
+        tf_hi = min(timed(f_hi, jnp.int32(s)) for s in keys[:n_fast])
         marginal_fast = max((tf_hi - tf_lo) / (r_hi - r_lo), 1e-9)
         print(
             json.dumps(
@@ -164,7 +165,8 @@ def main():
                     "kernel_ms": 1e3 * marginal,
                     "value_fast_rng": steps / marginal_fast,
                     "kernel_ms_fast_rng": 1e3 * marginal_fast,
-                    "n_timed": 12,
+                    "n_timed_exact": 2 * n_exact,
+                    "n_timed_fast_rng": 2 * n_fast,
                     "backend": backend,
                 }
             )

@@ -57,7 +57,17 @@ def main(outdir="."):
     # inflates NEES above the state dimension.  The fused pipeline
     # (gk.ops.ensemble.mc_chi_square with lagged_measurements=False)
     # implements the calibrated variant where NEES -> n exactly.
-    print(f"NEES mean (lagged reference semantics): {float(jnp.mean(nees[20:])):.3f}")
+    nees_mean = float(jnp.mean(nees[20:]))
+    # Under the mirrored lag the NEES does NOT calibrate to n=2: the
+    # unmodeled one-step measurement delay with this control schedule
+    # inflates it to ~4.7 (empirical, seed-stable; without controls it
+    # calibrates to n — tests/test_montecarlo.py pins 1.6-2.4).  Gate
+    # at a band around the pinned inflated value so regressions in the
+    # MC/replay plumbing still trip.
+    nees_ok = 3.5 < nees_mean < 6.0
+    print(f"NEES mean (lagged reference semantics): {nees_mean:.3f} "
+          f"(expect ~4.7, NOT n=2 — one-step measurement lag + control; "
+          f"band gate [3.5, 6.0] -> {'PASS' if nees_ok else 'FAIL'})")
     print(f"NIS mean  (expect ~1): {float(jnp.mean(nis[20:])):.3f}")
     # Formal gate: exact chi-square acceptance interval for the NIS
     # time-average (diagnostics toolkit, Bar-Shalom ch.5).

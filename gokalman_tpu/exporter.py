@@ -169,9 +169,16 @@ class AsyncCSVExporter(CSVExporter):
             self._q.put(item, timeout=60)
         except queue.Full:
             # A dead writer leaves producers blocked: surface ITS error
-            # rather than an opaque queue.Full.
+            # rather than an opaque queue.Full.  If the writer is alive
+            # but merely backed up (slow disk + small max_queue), say
+            # so explicitly — a bare queue.Full is indistinguishable
+            # from writer death.
             self._check()
-            raise
+            raise RuntimeError(
+                "AsyncCSVExporter writer thread is alive but the queue "
+                "stayed full for 60s — output device too slow for this "
+                "max_queue; raise max_queue or use the sync CSVExporter"
+            ) from None
 
     def _check(self):
         if self._err is not None:

@@ -59,9 +59,16 @@ def _bank_init(trans, x0, p0, mu0, mode_count: int):
         raise ValueError(f"transition matrix must be square, got {trans.shape}")
     if mode_count != m:
         raise ValueError(f"{mode_count} modes but {m}x{m} transition matrix")
-    rows = jnp.sum(trans, axis=1)
-    if not bool(jnp.allclose(rows, 1.0, atol=1e-6)):
-        raise ValueError("transition matrix rows must sum to 1")
+    # Validate on the host (numpy): a device allclose would force eager
+    # computation and raise TracerBoolConversionError when the
+    # constructor runs under jit / with traced inputs — skip the value
+    # check for tracers (shape checks above still apply).
+    if not isinstance(trans, jax.core.Tracer):
+        import numpy as np
+
+        rows = np.asarray(trans).sum(axis=1)
+        if not np.allclose(rows, 1.0, atol=1e-6):
+            raise ValueError("transition matrix rows must sum to 1")
     x0 = jnp.asarray(x0)
     p0 = jnp.asarray(p0)
     linalg.check_dims((x0.shape[0], 1), p0.shape, "x0", "P0", "rows2cols")

@@ -267,12 +267,23 @@ def robust_step(model: Model, state: State, measurement, control=None,
     Gaussian-efficiency constant.  Returns (state, estimate,
     weights [p]).
 
-    The standardization scale is the ORIGINAL innovation covariance
-    S = H P⁻ Hᵀ + R and stays fixed; the IRLS iterations refine the
-    residual point (re-standardizing against the inflated S' would
-    shrink |e| and undo the down-weighting).  Each iteration updates
-    the provisional state with the current weights and re-evaluates
-    the residual there, Gauss-Newton style.
+    The standardization scale is the ORIGINAL innovation sd
+    sqrt(diag S₀), S₀ = H P⁻ Hᵀ + R, and stays FIXED across
+    iterations — this is deliberate, and both alternatives were
+    measured worse: re-standardizing each iterate by the inflated S'
+    (or by the posterior residual's own covariance (I−HK) S' (I−HK)ᵀ,
+    which inherits R/w² from S') shrinks |e| by exactly the factor the
+    weighting introduced and relaxes a 5σ spike's weight from <0.1
+    back to ~0.87 — a positive feedback loop that undoes the
+    robustification.  With the fixed prior scale, iters>1 re-evaluates
+    the residual at the provisional posterior, Gauss-Newton style;
+    posterior residuals are smaller than prior ones, so weights relax
+    *partially* toward the IRLS fixed point w = ψ(e*)/e* at the
+    converged estimate — intentional M-estimator behavior (Karlgaard
+    & Schaub-style robust CKF), not a softening bug: a genuine outlier
+    barely moves the posterior and keeps its small weight, while a
+    borderline residual the state can absorb is progressively
+    re-trusted.
     """
     x_pred, p_pred = predict(model, state, control)
     y_hat = model.h @ state.x

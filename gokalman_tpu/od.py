@@ -26,8 +26,15 @@ from .filters import hybrid, srif
 
 
 class ODResult(NamedTuple):
+    """Per-step OD outputs.  Convention: `est_states = ref_states +
+    deviations` always holds.  The linearized paths (hybrid/SRIF) carry
+    a genuine reference trajectory and deviation state; the
+    derivative-free paths (run_ukf_od / run_enkf_od) estimate the full
+    state directly — for them `ref_states` IS the estimate and
+    `deviations` is exactly zero."""
+
     est_states: jax.Array  # [T, 6] full-state estimates (reference + deviation)
-    deviations: jax.Array  # [T, 6] filter deviation states
+    deviations: jax.Array  # [T, 6] filter deviation states (zero for ukf/enkf)
     covariances: jax.Array  # [T, 6, 6]
     innovations: jax.Array  # [T, p]
     ref_states: jax.Array  # [T, 6] reference trajectory (post EKF resets)
@@ -381,7 +388,11 @@ def run_ukf_od(
         # no-measurement steps the zeroed gain makes this exactly the
         # unscented time update — one computation, no select-of-two.
         ustate, est = ukf.step(model, ustate, real_obs, fx, hx, has=has)
-        out = (est.state, est.state, est.covariance, est.innovation, est.state, est)
+        # Full-state estimator: no reference/deviation split (see
+        # ODResult docstring) — ref_states carries the estimate,
+        # deviations is identically zero.
+        out = (est.state, jnp.zeros_like(est.state), est.covariance,
+               est.innovation, est.state, est)
         return ustate, out
 
     xs = (meas.obs, meas.station_idx, meas.has_meas, times)
@@ -443,8 +454,10 @@ def run_enkf_od(
 
         estate, est = enkf.step(noise, estate, real_obs, fx, hx, k,
                                 inflation=inflation, has=has)
-        out = (est.state, est.state, est.covariance, est.innovation,
-               est.state, est)
+        # Full-state estimator: deviations ≡ 0, ref_states = estimate
+        # (see ODResult docstring).
+        out = (est.state, jnp.zeros_like(est.state), est.covariance,
+               est.innovation, est.state, est)
         return estate, out
 
     xs = (meas.obs, meas.station_idx, meas.has_meas, times, step_keys)

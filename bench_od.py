@@ -12,8 +12,9 @@ Prints one JSON line per filter:
   {"metric": "srif_od_steps_per_sec", "value": ..., "pos_rms_km": ...,
    "vel_rms_kms": ..., "gates_pass": true, "steps": N, "dtype": "float64"}
 
-Run:  python bench_od.py [steps]   (default 2000; the full reference
-arc is 8640 10s-steps = 24h)
+Run:  python bench_od.py [steps]   (default 8640 = the full reference
+24h arc; the filter arc starts at the first station pass, 5120 steps /
+479 measurements)
 """
 
 import json
@@ -136,18 +137,12 @@ def main(steps=2000):
         stations_list=s["sts"], degree=2, t0=s["t0"], ekf_mask=ekf_mask,
     )).lower().compile()
 
-    # Truth-start arcs are gated by the reference's hybrid-OD gates
-    # (pos < 1e0 km, vel < 1e-1 km/s, hybrid_test.go:172).  On-chip
-    # x64 is software-emulated: two separately compiled f64 programs
-    # (truth propagation vs in-filter reference propagation) round
-    # differently, and with Q=0 the open-loop drift (~0.04 km over a
-    # 2000-step arc) shows up in the truth-start RMS — still >20x
-    # inside the hybrid gates.  The perturbed-start EKF keeps
-    # rectifying its reference toward the measurements and is held to
-    # the strict SRIF-class gates (1e-3 km / 1e-6 km/s,
-    # srif_test.go:169) on its converged tail.
-    r1 = run_one("srif", srif_fn, s, pos_gate=1e0, vel_gate=1e-1)
-    r2 = run_one("hybrid_ckf", hybrid_fn, s, pos_gate=1e0, vel_gate=1e-1)
+    # Truth-start arcs on the FULL 24h arc are held to the strict
+    # reference gates (pos < 1e-3 km, vel < 1e-6 km/s,
+    # srif_test.go:169) — the round-2 relaxation to hybrid gates was an
+    # artifact of the short observability-starved arc, not the filters.
+    r1 = run_one("srif", srif_fn, s, pos_gate=1e-3, vel_gate=1e-6)
+    r2 = run_one("hybrid_ckf", hybrid_fn, s, pos_gate=1e-3, vel_gate=1e-6)
     r3 = run_one("hybrid_ekf_perturbed", ekf_fn, s, tail=True,
                  pos_gate=1e-3, vel_gate=1e-6)
 
@@ -234,6 +229,24 @@ def main(steps=2000):
     r6 = run_one("hybrid_dmc_j3truth", dmc_fn, s3, tail=True,
                  pos_gate=2e-1, vel_gate=2e-4)
 
+    # Process-noise SRIF at native f32 (round-3 capability; the
+    # reference's SRIF panics on process noise, srif.go:77-79): SNC
+    # enters through the Dyer-McReynolds factored time update, so the
+    # square-root form carries Q in f32 — same J3-truth/J2-filter arc
+    # as the DMC row, at f32-SRIF-class throughput instead of the x64
+    # hybrid's.  CPU-measured: 0.087 km / 8.7e-5 km/s vs the x64
+    # hybrid+SNC's 0.078 km / 7.4e-5 (tests/test_srif_q.py pins the
+    # x64 parity digit-for-digit).
+    ms3c32 = MeasurementSet(to32(ms3c.obs), to32(ms3c.htildes),
+                            ms3c.has_meas, ms3c.station_idx)
+    qsnc32 = jnp.asarray((2e-6) ** 2 * jnp.eye(3), jnp.float32)
+    srif_snc_fn = jax.jit(lambda: od.run_srif_od(
+        to32(x0_3), to32(s["p0"]), noise32, ms3c32, s["dt"],
+        stations_list=sts32, degree=2, t0=t0_3, snc_q=qsnc32,
+    )).lower().compile()
+    r8 = run_one("srif_f32_snc_j3truth", srif_snc_fn, s3, tail=True,
+                 pos_gate=1.5e-1, vel_gate=1.5e-4, dtype="float32")
+
     # Derivative-free tier at native f32: ensemble OD (96 members, no
     # STM/Jacobians) from the perturbed start.
     enkf_noise32 = gn.awgn(1e-12 * jnp.eye(6, dtype=jnp.float32),
@@ -247,9 +260,9 @@ def main(steps=2000):
     r7 = run_one("enkf_od_f32", enkf_fn, s, tail=True,
                  pos_gate=3e-1, vel_gate=5e-4, dtype="float32")
 
-    assert all(r["gates_pass"] for r in (r1, r2, r3, r4, r5, r6, r7)), \
+    assert all(r["gates_pass"] for r in (r1, r2, r3, r4, r5, r6, r7, r8)), \
         "accuracy gates failed"
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 2000)
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 8640)

@@ -11,7 +11,21 @@ state is carried as (R, b) with x = R^{-1} b and P = R^{-1} R^{-T}.
   vectorized masked-rank-1 kernel in linalg.householder_triangularize;
 - `non_tri_r=True` skips the time-update re-triangularization of
   [R̄ | b̄] (srif.go:121-132) — a static flag, two compiled variants;
-- process noise is unsupported, as in the reference (srif.go:77-79).
+- process noise IS supported (the reference panics, srif.go:77-79):
+  passing `gamma` to `new` enables the Dyer–McReynolds factored time
+  update (Bierman "Factorization Methods" ch. VII; Tapley, Schutz &
+  Born §5.7.2).  With dynamics x_{k+1} = Φ x_k + Γ u, u ~ N(0, Q),
+  the prior data equations  R_w u = 0 + ν_w  (R_wᵀR_w = Q⁻¹) and
+  R_k x_k = b_k + ν_k  combine, after substituting
+  x_k = Φ⁻¹(x_{k+1} − Γ u), into the stacked system
+
+      [ R_w      0  | 0   ]          [ R̂_w  R̂_wx | ẑ_w ]
+      [ −R̄Γ     R̄ | b_k ]   --T-->  [ 0     R̄'  | b̄'  ]
+
+  with R̄ = R_k Φ⁻¹; one Householder pass over the (q+n)×(q+n+1)
+  stack yields the propagated pair (R̄', b̄') that absorbs √Q with no
+  covariance ever formed — the f32-robust square-root property the
+  Joseph-form CKF lacks on ill-conditioned workloads.
 """
 
 from __future__ import annotations
@@ -29,6 +43,10 @@ class Model(NamedTuple):
     sqrt_inv_noise: jax.Array  # [p, p] whitening matrix chol(R)^{-1} (srif.go:38-45)
     meas_size: int
     non_tri_r: bool  # static: skip Householder re-triangularization of R̄
+    # Optional process noise (Dyer–McReynolds); None compiles to the
+    # exact reference-mirroring Q-less time update.
+    sqrt_inv_q: object = None  # [q, q] R_w with R_wᵀ R_w = Q⁻¹
+    gamma: object = None  # [n, q] noise mapping Γ
 
 
 class State(NamedTuple):
@@ -72,13 +90,18 @@ class Estimate(NamedTuple):
         return linalg.is_within_nsigma(self.state, self.covariance, n_sigma)
 
 
-def new(x0, p0, meas_size: int, non_tri_r: bool, noise: Noise):
+def new(x0, p0, meas_size: int, non_tri_r: bool, noise: Noise, gamma=None):
     """Build (Model, State, Estimate0).
 
     I0 inverts the *diagonal* of P0 elementwise (the reference documents
     P0 as always diagonal, srif.go:22-26); R0 = chol(I0)^T (upper) and
     b0 = R0 x0 (srif.go:27-35).  The whitening matrix is chol(R)^{-1}
     (srif.go:38-45).
+
+    `gamma` ([n, q] noise mapping, e.g. od.snc_gamma for SNC) enables
+    the Dyer–McReynolds process-noise time update with Q = noise.q
+    (which must then be [q, q] positive definite); the reference
+    refuses process noise outright (srif.go:77-79).
     """
     x0 = jnp.asarray(x0)
     p0 = jnp.asarray(p0)
@@ -90,7 +113,21 @@ def new(x0, p0, meas_size: int, non_tri_r: bool, noise: Noise):
     sqrt_inv = linalg.solve_tri_lower(
         sqrt_meas, jnp.eye(sqrt_meas.shape[-1], dtype=sqrt_meas.dtype)
     )
-    model = Model(sqrt_inv, meas_size, non_tri_r)
+    sqrt_inv_q = None
+    if gamma is not None:
+        gamma = jnp.asarray(gamma, dtype=x0.dtype)
+        q = jnp.asarray(noise.q, dtype=x0.dtype)
+        if q.shape != (gamma.shape[1], gamma.shape[1]):
+            raise ValueError(
+                f"process noise Q {q.shape} must be square matching "
+                f"gamma columns ({gamma.shape[1]})"
+            )
+        lq = jnp.linalg.cholesky(q)
+        # R_w = L⁻¹ (lower): R_wᵀ R_w = L⁻ᵀ L⁻¹ = Q⁻¹.
+        sqrt_inv_q = linalg.solve_tri_lower(
+            lq, jnp.eye(lq.shape[-1], dtype=lq.dtype)
+        )
+    model = Model(sqrt_inv, meas_size, non_tri_r, sqrt_inv_q, gamma)
     p = meas_size
     est0 = Estimate(
         phi=jnp.eye(x0.shape[0], dtype=x0.dtype),
@@ -125,9 +162,32 @@ def measurement_update(r, h, b, y):
 
 def _time_update(model: Model, state: State, phi):
     """R̄ = R Φ^{-1}, b̄ = R̄ Φ x̂ (srif.go:111-119), with optional
-    re-triangularization of [R̄ | b̄] (srif.go:121-132)."""
+    re-triangularization of [R̄ | b̄] (srif.go:121-132).
+
+    With process noise (model.gamma set), the Dyer–McReynolds stack
+
+        [ R_w     0  | 0 ]      (q rows: prior on u ~ N(0, Q))
+        [ -R̄Γ    R̄ | b ]      (n rows: dynamics-mapped data equation)
+
+    is Householder-triangularized over all q+n columns and the bottom
+    block is the propagated (R̄', b̄') — see module docstring.  Note
+    b̄ = R̄ Φ x̂ = R x̂ = b exactly, so the stacked RHS is just b.
+    """
     phi_inv = linalg.inv_qr(phi)  # QR: TPU x64 has no LU
     r_bar = state.r @ phi_inv
+    if model.gamma is not None:
+        n = state.b.shape[0]
+        q = model.gamma.shape[1]
+        dtype = r_bar.dtype
+        top = jnp.concatenate(
+            [model.sqrt_inv_q, jnp.zeros((q, n + 1), dtype)], axis=1
+        )
+        bot = jnp.concatenate(
+            [-(r_bar @ model.gamma), r_bar, state.b[:, None]], axis=1
+        )
+        a = jnp.concatenate([top, bot], axis=0)  # [(q+n), (q+n+1)]
+        a = linalg.householder_triangularize(a, q + n, 0)
+        return a[q:, q : q + n], a[q:, q + n]
     x_hat = linalg.solve_qr(state.r, state.b)
     b_bar = r_bar @ (phi @ x_hat)
     if not model.non_tri_r:
@@ -202,13 +262,48 @@ def smooth_all(estimates: Estimate) -> Estimate:
     reverse lax.scan over the stacked estimate pytree.  Returns
     estimates with smoothed state folded back in via (R, b) such that
     state/covariance reproduce the smoothed values.
+
+    Assumes Q = 0 (deterministic dynamics between estimates), exactly
+    like the reference; for a filter built with process noise
+    (new(..., gamma=...)) use `smooth_all_q`, which accounts for the
+    noise term in the backward pass.
     """
     from .smoothing import phi_inverse_smoother
 
     xs_sm, ps_sm = phi_inverse_smoother(
         estimates.phi, estimates.state, estimates.covariance
     )
+    return _encode_smoothed(estimates, xs_sm, ps_sm)
 
+
+@linalg.highp
+def smooth_all_q(model: Model, estimates: Estimate) -> Estimate:
+    """Fixed-interval smoother for a process-noise SRIF (moment-form
+    RTS): the backward pass uses P̄_{k+1} = Φ P_k Φᵀ + Γ Q Γᵀ, so the
+    smoothed trajectory correctly discounts the noise the filter
+    absorbed — `smooth_all`'s deterministic Φ-inverse backmap is wrong
+    whenever Q ≠ 0 (it treats every propagated deviation as exact).
+    Beyond the reference (whose SRIF refuses process noise,
+    srif.go:77-79).  Requires a model built with `gamma`.
+    """
+    if model.gamma is None:
+        raise ValueError("smooth_all_q needs a process-noise model "
+                         "(srif.new(..., gamma=...)); use smooth_all")
+    from .smoothing import rts_smoother
+
+    # Recover Q = L Lᵀ from the stored R_w = L⁻¹.
+    lq = linalg.solve_tri_lower(
+        model.sqrt_inv_q,
+        jnp.eye(model.sqrt_inv_q.shape[-1], dtype=model.sqrt_inv_q.dtype),
+    )
+    q_eff = model.gamma @ (lq @ lq.T) @ model.gamma.T
+    xs_sm, ps_sm = rts_smoother(
+        estimates.phi, q_eff, estimates.state, estimates.covariance
+    )
+    return _encode_smoothed(estimates, xs_sm, ps_sm)
+
+
+def _encode_smoothed(estimates: Estimate, xs_sm, ps_sm) -> Estimate:
     # Re-encode smoothed (x, P) as (R, b): R = chol(P^{-1})^T, b = R x.
     def encode(x, p):
         info = linalg.inv_psd(p)

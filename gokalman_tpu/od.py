@@ -308,19 +308,35 @@ def run_srif_od(
     substeps: int = 1,
     non_tri_r: bool = False,
     t0: float = 0.0,
+    snc_q=None,
 ) -> ODResult:
     """SRIF orbit determination (srif_test.go:66-341 recast as a scan).
 
     The SRIF is CKF-only (no reference reset) and carries the deviation
     in square-root information form; P0 must be diagonal (srif.go:22-26).
-    """
+
+    `snc_q` (a [3, 3] acceleration PSD, the same quantity run_hybrid_od
+    takes via noise.q + snc_mask) arms state-noise compensation through
+    the Dyer–McReynolds factored time update (srif.smooth_all_q /
+    srif._time_update): Q enters as √Q in a stacked Householder pass,
+    never as a covariance — so the filter keeps square-root conditioning
+    and runs in f32 where hybrid+SNC must run x64.  The reference's
+    SRIF panics on process noise (srif.go:77-79)."""
     x0_ref = jnp.asarray(x0_ref)
     dtype = x0_ref.dtype
     steps = meas.obs.shape[0]
     eom = functools.partial(gravity.eom, degree=degree)
     phi_flow = integrators.flow(eom, dt, method, substeps)
 
-    model, sstate0, _ = srif.new(jnp.zeros(6, dtype), jnp.asarray(p0), 2, non_tri_r, noise)
+    gamma = None
+    if snc_q is not None:
+        snc_q = jnp.asarray(snc_q, dtype)
+        if snc_q.shape != (3, 3):
+            raise ValueError("snc_q must be the 3x3 acceleration PSD")
+        noise = noise._replace(q=snc_q)
+        gamma = snc_gamma(dt, dtype)
+    model, sstate0, _ = srif.new(jnp.zeros(6, dtype), jnp.asarray(p0), 2,
+                                 non_tri_r, noise, gamma=gamma)
     times = t0 + dt * jnp.arange(1, steps + 1, dtype=dtype)
 
     def body(carry, xs):

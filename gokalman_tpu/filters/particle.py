@@ -162,7 +162,8 @@ def effective_sample_size(log_weights: jax.Array) -> jax.Array:
 @linalg.highp
 def step(state: State, measurement, propagate: Callable, loglik: Callable,
          key: jax.Array, control=None, resample_threshold: float = 0.5,
-         has=None, member_offset=0, n_total=None, axis_name=None):
+         has=None, member_offset=0, n_total=None, axis_name=None,
+         local_resampling: bool = False, n_shards=None):
     """One SIR step: propagate through the bootstrap proposal, reweight
     by the measurement likelihood, systematic-resample when the ESS
     falls below `resample_threshold * N`.
@@ -177,6 +178,21 @@ def step(state: State, measurement, propagate: Callable, loglik: Callable,
     collectives, and resampling all-gathers the (weights, particles) —
     small at filter scale — so every device selects its slice of the
     globally-identical systematic ancestors.
+
+    `local_resampling=True` (with axis_name) replaces the all-gather
+    with the RNA scheme (Bolic, Djuric & Hong 2005; island PF, Vergé
+    et al. 2015): each shard systematic-resamples N_local ancestors
+    from its own weights, keeps its island weight W_d attached
+    (uniform W_d/N_local per particle), then ring-ppermutes half its
+    particles — WITH their weights — to the next shard.  Each half is
+    an exactly-unbiased within-island resample and the shift is a pure
+    permutation of the global weighted measure, so the filter stays
+    unbiased while per-shard memory is O(N_local) and the only
+    collectives are the O(1) normalization/moment psums plus one
+    point-to-point neighbor transfer (no O(N) gather).  The trade:
+    results are statistically — not bit — equal to the unsharded
+    filter, and island weights homogenize over ~n_shards resampling
+    events rather than instantly.
     """
     n_local = state.particles.shape[0]
     n = n_local if n_total is None else n_total
@@ -224,6 +240,43 @@ def step(state: State, measurement, propagate: Callable, loglik: Callable,
         lw = jnp.where(
             do_res, jnp.full_like(lw, -jnp.log(float(n))), jnp.take(lw, take)
         )
+    elif local_resampling:
+        # RNA / island resampling: no gather.  Island log-weight
+        # logW_d = logsumexp(local lw) (lw is globally normalized, so
+        # psum_d(W_d) = 1); resample locally from lw/W_d with a
+        # per-shard key, assign the uniform within-island weight
+        # W_d/N_local, then ring-shift half the particles — weights
+        # attached — to the next shard (a pure permutation of the
+        # global weighted measure, exactly unbiased; the shift is what
+        # homogenizes island weights over ~n_shards resampling events).
+        if n_shards is None:
+            raise ValueError("local_resampling needs static n_shards")
+        me = jax.lax.axis_index(axis_name)
+        k_local = jax.random.fold_in(k_res, me)
+        log_wd = jax.scipy.special.logsumexp(lw)
+        idx = systematic_resample_indices(lw - log_wd, k_local)
+        keep = jnp.arange(n_local, dtype=jnp.int32)
+        take = jnp.where(do_res, idx, keep)
+        pts_r = jnp.take(pts, take, axis=0)
+        lw_r = jnp.where(
+            do_res,
+            jnp.full((n_local,), log_wd - jnp.log(float(n_local)), lw.dtype),
+            jnp.take(lw, take),
+        )
+        half = n_local // 2
+        if half > 0 and n_shards > 1:
+            perm = [(d, (d + 1) % n_shards) for d in range(n_shards)]
+            moved_pts = jax.lax.ppermute(pts_r[half:], axis_name, perm)
+            moved_lw = jax.lax.ppermute(lw_r[half:], axis_name, perm)
+            # Shift only on resample steps (do_res is computed from
+            # global psums, so every shard takes the same branch).
+            pts = jnp.where(do_res,
+                            jnp.concatenate([pts_r[:half], moved_pts]),
+                            pts_r)
+            lw = jnp.where(do_res,
+                           jnp.concatenate([lw_r[:half], moved_lw]), lw_r)
+        else:
+            pts, lw = pts_r, lw_r
     else:
         # Gather the full (weights, particles) — [N] + [N, n_x] floats,
         # small at filter scale — compute the globally-identical

@@ -258,25 +258,42 @@ def sharded_enkf_run(noise, x0, p0, n_ens: int, measurements, fx, hx, key,
 
 def sharded_particle_run(x0, p0, n_particles: int, measurements, propagate,
                          loglik, key, mesh: Mesh, controls=None,
-                         meas_masks=None, resample_threshold: float = 0.5):
+                         meas_masks=None, resample_threshold: float = 0.5,
+                         resampling: str = "gather"):
     """Bootstrap particle filter with the particle axis sharded over the
     mesh.
 
     Propagation and likelihood evaluation — the expensive parts for
     nontrivial dynamics — stay device-local; normalization, moments,
-    and ESS are tiny collectives; resampling all-gathers the (weights,
-    particles) arrays (small at filter-state scale) so every device
-    computes the identical systematic-ancestor vector and keeps its
-    slice.  Noise is keyed per GLOBAL particle index, so the result
-    equals the unsharded filters.particle run bit-for-bit
-    (tests/test_shard_particle.py); the key layout mirrors
-    `new(key=k_init)` + `run(key=k_run)` with (k_init, k_run) =
-    split(key).
+    and ESS are tiny collectives.  Noise is keyed per GLOBAL particle
+    index; the key layout mirrors `new(key=k_init)` + `run(key=k_run)`
+    with (k_init, k_run) = split(key).
+
+    `resampling` picks the distributed resampling scheme:
+
+    - "gather" (default): all-gather the (weights, particles) arrays —
+      small at filter-state scale — so every device computes the
+      identical systematic-ancestor vector and keeps its slice.  The
+      result equals the unsharded filters.particle run BIT-FOR-BIT
+      (tests/test_shard_particle.py), but each device materializes the
+      full N-particle cloud during resampling, capping N at
+      single-device memory.
+    - "local": RNA / island resampling (Bolic, Djuric & Hong 2005) —
+      per-shard systematic resampling with the island weight retained,
+      plus a ring half-exchange of particles (weights attached, an
+      exactly-unbiased permutation).  Per-shard memory stays
+      O(N_local) and nothing N-sized ever moves: the scalable scheme
+      for clouds beyond one device's memory.  Statistically — not
+      bit — equal to the unsharded filter
+      (tests/test_shard_particle_local.py pins evidence, posterior
+      moments, and island-weight health).
     """
     from functools import partial
 
     from ..filters import particle
 
+    if resampling not in ("gather", "local"):
+        raise ValueError(f"unknown resampling scheme {resampling!r}")
     axis_names = mesh.axis_names
     if len(axis_names) != 1:
         raise ValueError("sharded_particle_run expects a 1-D ensemble mesh")
@@ -320,6 +337,7 @@ def sharded_particle_run(x0, p0, n_particles: int, measurements, propagate,
                 carry, m, propagate, loglik, k, control=u,
                 resample_threshold=resample_threshold, has=has,
                 member_offset=offset, n_total=n_particles, axis_name=axis,
+                local_resampling=(resampling == "local"), n_shards=n_dev,
             )
 
         state, ests = jax.lax.scan(body, state, (meas, ctrls, masks, skeys))

@@ -161,6 +161,34 @@ def qr_r(a: jax.Array) -> jax.Array:
     return jnp.linalg.qr(a, mode="r")
 
 
+def sqrt_factor_psd(a: jax.Array) -> jax.Array:
+    """A square factor B with B Bᵀ = A for PSD A, robust to extreme
+    conditioning: eigh + clipped sqrt(eigenvalues).
+
+    Cholesky in f32 goes indefinite (NaN) once cond(A) approaches
+    1/eps_f32 ~ 1e7-1e9 because roundoff in the large entries swamps
+    the small pivots; eigh has no pivots to lose, and clipping tiny
+    negative eigenvalues to zero yields the nearest-PSD factor.  B is
+    NOT triangular — use only where a general square root is
+    acceptable (e.g. rows of an orthogonal-triangularization
+    pre-array, where any B with B Bᵀ = A produces the same AᵀA).
+    """
+    w, u = jnp.linalg.eigh(a)
+    return u * jnp.sqrt(jnp.maximum(w, 0.0))[None, :]
+
+
+def chol_or_eigh_sqrt(a: jax.Array) -> jax.Array:
+    """Lower Cholesky factor when it exists in this precision, else the
+    eigh factor from sqrt_factor_psd.
+
+    Bit-identical to cholesky whenever cholesky is finite — callers
+    that feed the factor to a PRNG keep their exact historical draws —
+    and degrades gracefully (instead of NaN) on cond ≳ 1e8 f32 inputs.
+    """
+    l = jnp.linalg.cholesky(a)
+    return jnp.where(jnp.all(jnp.isfinite(l)), l, sqrt_factor_psd(a))
+
+
 def chol_lower(a: jax.Array) -> jax.Array:
     """Lower Cholesky factor, L L^T = A (reference uses LFromCholesky)."""
     return jnp.linalg.cholesky(a)

@@ -39,10 +39,17 @@ class Noise(NamedTuple):
 
 
 def _safe_chol(m: jax.Array) -> jax.Array:
-    """Cholesky that returns zeros for an all-zero matrix instead of NaN."""
+    """Sampling factor B with B Bᵀ = m: zeros for an all-zero matrix,
+    Cholesky when it exists in this precision, eigh square root as the
+    extreme-conditioning fallback (f32 chol of cond ≳ 1e8 inputs goes
+    indefinite -> NaN; draws through the eigh factor have the same
+    covariance).  Bit-identical to the historical behavior wherever
+    chol succeeds."""
+    from . import linalg
+
     is_zero = jnp.all(m == 0)
     jitter = jnp.eye(m.shape[-1], dtype=m.dtype)
-    l = jnp.linalg.cholesky(jnp.where(is_zero, jitter, m))
+    l = linalg.chol_or_eigh_sqrt(jnp.where(is_zero, jitter, m))
     return jnp.where(is_zero, jnp.zeros_like(m), l)
 
 

@@ -180,6 +180,81 @@ def _covariance_path_tv(model: vanilla.Model, p0, hs, rs):
 
 
 @linalg.highp
+def _covariance_path_sqrt(model: vanilla.Model, p0, steps=None, hs=None,
+                          rs=None):
+    """Factored (chol/QR) covariance path: same per-step
+    (K, S^{-1}, (P^+)^{-1}) leaves as the moment recurrences, computed
+    without ever forming or inverting a covariance.
+
+    The carry is the lower posterior factor L (P^+ = L Lᵀ); each step
+    runs the Morf–Kailath/Kaminski array (squareroot.go:21-50 is the
+    reference's rationale for the same trick on the filter itself):
+
+        qr([Lᵀ Fᵀ; Lqᵀ])                -> L̄ᵀ   (predicted factor)
+        qr([[Lrᵀ, 0], [L̄ᵀHᵀ, L̄ᵀ]])     -> [[X, Y], [0, Z]]
+
+    with XᵀX = S, K = Yᵀ X⁻ᵀ, ZᵀZ = P⁺ — so the worst conditioning any
+    op sees is sqrt(kappa(P)).  Measured on cond(P0) ~ 1e9-1e10 f32
+    models (tests/test_cov_path.py): the factored arrays are 10-50x
+    closer to the x64 truth than the moment recurrence's (S⁻¹ max rel
+    err 0.15 vs 38 at cond 1e9) and the pipeline NEES tail lands
+    within 0.05 of n where the moment path misses by ~0.2.  Honest
+    limit, also pinned by the tests: for models where the f32 ENSEMBLE
+    REPLAY itself is unstable (some cond-1e10 draws), feeding exact
+    x64 arrays still blows up — past that point the precompute is not
+    the binding constraint and only an f32-robust filter form (SRIF /
+    square-root, filters/srif.py) helps.  The kernel body is
+    unchanged: it consumes the same per-step arrays.
+
+    Pass `steps` for the time-invariant schedule or (hs, rs) for a
+    masked time-varying one (rs rows for masked steps carry the unit
+    diagonal from _masked_schedule, keeping chol well-posed).
+    """
+    f = model.f
+    # Factor the ALGEBRA matrices q/r/p0, not the sampling factors
+    # sqrt_q/sqrt_r (zero for `noiseless` models, which still carry
+    # real q/r).  eigh-based factors, not chol: f32 chol of a
+    # cond ~1e9 input goes indefinite->NaN, and the pre-array rows
+    # only need B Bᵀ = A, not triangularity (linalg.sqrt_factor_psd).
+    lq = linalg.sqrt_factor_psd(model.noise.q)
+    n = f.shape[0]
+    eye_n = jnp.eye(n, dtype=f.dtype)
+
+    def body(l_post, xs):
+        h, lr = xs
+        p = h.shape[0]
+        pre_t = jnp.concatenate([l_post.T @ f.T, lq.T], axis=0)  # [2n, n]
+        l_pred_t = linalg.qr_r(pre_t)  # upper = L̄ᵀ
+        a = jnp.block([
+            [lr.T, jnp.zeros((p, n), f.dtype)],
+            [l_pred_t @ h.T, l_pred_t],
+        ])
+        ru = linalg.qr_r(a)
+        x = ru[:p, :p]  # upper, XᵀX = S
+        y = ru[:p, p:]  # X⁻ᵀ H P̄
+        z = ru[p:, p:]  # upper, ZᵀZ = P⁺
+        # K = P̄Hᵀ S⁻¹ = Yᵀ X⁻¹ X⁻ᵀ · X = Yᵀ X⁻ᵀ, i.e. Kᵀ = X⁻¹ Y.
+        k_gain = jax.scipy.linalg.solve_triangular(x, y, lower=False).T
+        x_inv = jax.scipy.linalg.solve_triangular(
+            x, jnp.eye(p, dtype=f.dtype), lower=False)
+        s_inv = x_inv @ x_inv.T
+        z_inv = jax.scipy.linalg.solve_triangular(z, eye_n, lower=False)
+        p_plus_inv = z_inv @ z_inv.T
+        return z.T, (k_gain, s_inv, p_plus_inv)
+
+    l0 = linalg.sqrt_factor_psd(jnp.asarray(p0))
+    if hs is None:
+        lr0 = linalg.sqrt_factor_psd(model.noise.r)
+        t = steps
+        hs = jnp.broadcast_to(model.h, (t,) + model.h.shape)
+        lrs = jnp.broadcast_to(lr0, (t,) + lr0.shape)
+    else:
+        lrs = jax.vmap(linalg.sqrt_factor_psd)(jnp.asarray(rs))
+    _, path = jax.lax.scan(body, l0, (jnp.asarray(hs), lrs))
+    return path
+
+
+@linalg.highp
 def filter_bank(
     model: vanilla.Model,
     state0: vanilla.State,
@@ -250,6 +325,7 @@ def mc_chi_square(
     hs=None,
     rs=None,
     meas_masks=None,
+    cov_path: str = "moment",
 ) -> ChiSquareResult:
     """Fused Monte-Carlo truth generation + chi-square replay.
 
@@ -276,7 +352,18 @@ def mc_chi_square(
     (jerkcar-class time-varying workloads, see vanilla.run): truth
     measurements are generated through H_k with chol(R_k) noise and the
     covariance path follows the schedule.
+
+    `cov_path` selects the precompute recurrence: "moment" (default;
+    Joseph form — O(log T) parallel-depth when time-invariant) or
+    "sqrt" (the chol/QR Morf–Kailath array in _covariance_path_sqrt)
+    for f32 models around cond(P0) ~ 1e9+, where the moment form's
+    Joseph cancellation degrades the per-step arrays and biases the
+    NEES tail by ~0.2 (see _covariance_path_sqrt for the measured
+    regime map and limits).  The scan body is identical either way —
+    only the per-step (K, S⁻¹, P⁺⁻¹) arrays change.
     """
+    if cov_path not in ("moment", "sqrt"):
+        raise ValueError(f"unknown cov_path {cov_path!r}")
     n = state0.x.shape[0]
     p = model.h.shape[0]
     dtype = state0.x.dtype
@@ -286,17 +373,29 @@ def mc_chi_square(
     time_varying = hs is not None or rs is not None or meas_masks is not None
     if time_varying:
         hs_m, rs_m, lrs = _masked_schedule(model, hs, rs, meas_masks)
-        k_path, s_inv_path, p_inv_path = _covariance_path_tv(
-            model, state0.p, hs_m, rs_m
-        )
+        if cov_path == "sqrt":
+            k_path, s_inv_path, p_inv_path = _covariance_path_sqrt(
+                model, state0.p, hs=hs_m, rs=rs_m
+            )
+        else:
+            k_path, s_inv_path, p_inv_path = _covariance_path_tv(
+                model, state0.p, hs_m, rs_m
+            )
     else:
         hs_m = lrs = None
-        k_path, s_inv_path, p_inv_path = _covariance_path(model, state0.p, steps)
+        if cov_path == "sqrt":
+            k_path, s_inv_path, p_inv_path = _covariance_path_sqrt(
+                model, state0.p, steps=steps
+            )
+        else:
+            k_path, s_inv_path, p_inv_path = _covariance_path(
+                model, state0.p, steps
+            )
 
     key, k_init = jax.random.split(key)
     x_truth = jnp.tile(state0.x[:, None], (1, samples))
     if init_spread:
-        l0 = jnp.linalg.cholesky(state0.p)
+        l0 = linalg.chol_or_eigh_sqrt(state0.p)
         x_truth = x_truth + l0 @ jax.random.normal(k_init, (n, samples), dtype)
     x_est = jnp.tile(state0.x[:, None], (1, samples))
     if ensemble_sharding is not None:

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .. import linalg
 from ..filters import vanilla
 from .ensemble import (
     ChiSquareResult,
@@ -173,25 +174,39 @@ def sample_normals_pallas(count: int, seed, lanes: int = 2048,
     return out.reshape(-1)[:count]
 
 
-@functools.partial(jax.jit, static_argnames=("steps", "tv", "ctrl"))
+@functools.partial(jax.jit,
+                   static_argnames=("steps", "tv", "ctrl", "cov_path"))
 def _compute_path(model, state0, steps, controls=None, hs=None, rs=None,
-                  meas_masks=None, tv=False, ctrl=False):
+                  meas_masks=None, tv=False, ctrl=False,
+                  cov_path="moment"):
+    from .ensemble import _covariance_path_sqrt
+
     if tv:
         hs_m, rs_m, lrs = _masked_schedule(model, hs, rs, meas_masks)
-        k_path, s_inv_path, p_inv_path = _covariance_path_tv(
-            model, state0.p, hs_m, rs_m
-        )
+        if cov_path == "sqrt":
+            k_path, s_inv_path, p_inv_path = _covariance_path_sqrt(
+                model, state0.p, hs=hs_m, rs=rs_m
+            )
+        else:
+            k_path, s_inv_path, p_inv_path = _covariance_path_tv(
+                model, state0.p, hs_m, rs_m
+            )
     else:
         hs_m = lrs = None
-        k_path, s_inv_path, p_inv_path = _covariance_path(
-            model, state0.p, steps
-        )
+        if cov_path == "sqrt":
+            k_path, s_inv_path, p_inv_path = _covariance_path_sqrt(
+                model, state0.p, steps=steps
+            )
+        else:
+            k_path, s_inv_path, p_inv_path = _covariance_path(
+                model, state0.p, steps
+            )
     gus = controls @ model.g.T if ctrl else None  # [T,m]@[m,n]
     return k_path, s_inv_path, p_inv_path, hs_m, lrs, gus
 
 
 def precompute_path(model, state0, steps, controls=None, hs=None, rs=None,
-                    meas_masks=None):
+                    meas_masks=None, cov_path="moment"):
     """Seed-independent per-step path for mc_chi_square_pallas: gains,
     NEES/NIS weight factors, masked schedule, control increments.
 
@@ -201,11 +216,15 @@ def precompute_path(model, state0, steps, controls=None, hs=None, rs=None,
     per-experiment device cost.  bench.py measures exactly this
     steady-state split (the path is ~40 ms of tiny [T,n,n] ops on the
     chip, larger than the 98304x1000 kernel itself).
+
+    `cov_path="sqrt"` switches the recurrence to the factored chol/QR
+    array (ops.ensemble._covariance_path_sqrt) for cond ~1e10-class f32
+    models; the kernel consumes the same per-step arrays either way.
     """
     tv = hs is not None or rs is not None or meas_masks is not None
     ctrl = controls is not None and model.g is not None
     return _compute_path(model, state0, steps, controls, hs, rs, meas_masks,
-                         tv=tv, ctrl=ctrl)
+                         tv=tv, ctrl=ctrl, cov_path=cov_path)
 
 
 @functools.lru_cache(maxsize=16)
@@ -540,7 +559,7 @@ def _build(n: int, p: int, tile: int, tv: bool = False, ctrl: bool = False,
         k_path, s_inv_path, p_inv_path, hs_m, lrs, gus = path
         path = _pack_path(k_path, p_inv_path, s_inv_path, hs_m, lrs, gus)
         spread_l = (
-            jnp.linalg.cholesky(state0.p) if init_spread
+            linalg.chol_or_eigh_sqrt(state0.p) if init_spread
             else jnp.zeros_like(state0.p)
         )
         fixed = _pack_fixed(

@@ -41,6 +41,7 @@ class ODResult(NamedTuple):
     has_meas: jax.Array  # [T]
     estimates: object  # stacked filter Estimate pytree (for smoothing)
     accepted: object = None  # [T] gate decisions (None when ungated)
+    truth: object = None  # [T, 6] co-propagated truth (truth0 mode only)
 
 
 def _computed_obs(station_list, state, theta, idx, has):
@@ -96,8 +97,16 @@ def run_hybrid_od(
     dmc_tau: Optional[float] = None,
     dmc_sigma: Optional[float] = None,
     dmc_w_p0: float = 1e-12,
+    truth0=None,
 ) -> ODResult:
     """Hybrid CKF/EKF orbit determination over a measurement stream.
+
+    `truth0` enables self-consistent in-scan measurement generation
+    (see run_srif_od: batched truth+reference propagation/observation,
+    the one-propagator structure of the reference's own tests and the
+    only way to hold reference-strict gates on emulated-x64 hardware).
+    Incompatible with DMC (the truth would need the augmented filter
+    dynamics rather than its own).
 
     Per step (hybrid_test.go:228-372): propagate the reference orbit one
     step with its STM, compute the reference observation by the same
@@ -138,6 +147,10 @@ def run_hybrid_od(
     steps = meas.obs.shape[0]
     use_dmc = dmc_tau is not None
     use_snc = snc_mask is not None
+    self_consistent = truth0 is not None
+    if use_dmc and self_consistent:
+        raise ValueError("truth0 (self-consistent measurements) is "
+                         "incompatible with DMC")
     if use_dmc and use_snc:
         raise ValueError("DMC and SNC are alternative compensation schemes")
     if use_dmc and snc_ric:
@@ -214,7 +227,10 @@ def run_hybrid_od(
         return obs, ht
 
     def body(carry, xs):
-        x_ref, hstate = carry
+        if self_consistent:
+            x_truth, x_ref, hstate = carry
+        else:
+            x_ref, hstate = carry
         real_obs, idx, has, ekf, snc, t = xs
         hstate_pre = hstate
         g = gamma if snc is not None else None
@@ -231,9 +247,23 @@ def run_hybrid_od(
         pre = jnp.where(ekf, hstate.x, jnp.zeros_like(hstate.x))
         x_ref = x_ref + pre
         hstate = hstate._replace(x=hstate.x - pre)
-        x_ref, stm = integrators.x_and_jac(phi_flow, x_ref)
         theta = theta0 + c.EARTH_ROTATION_RATE * t
-        comp_obs, htilde = computed_obs(x_ref, theta, idx, has)
+        if self_consistent:
+            # Batched truth+reference propagation and observation (see
+            # run_srif_od): identical compiled arithmetic for the pair.
+            pair = jnp.stack([x_truth, x_ref])
+            pair_new, stms = jax.vmap(
+                lambda x: integrators.x_and_jac(phi_flow, x))(pair)
+            x_truth = pair_new[0]
+            x_ref = pair_new[1]
+            stm = stms[1]
+            obs_pair, ht_pair = jax.vmap(
+                lambda x: computed_obs(x, theta, idx, has))(pair_new)
+            real_obs = obs_pair[0]
+            comp_obs, htilde = obs_pair[1], ht_pair[1]
+        else:
+            x_ref, stm = integrators.x_and_jac(phi_flow, x_ref)
+            comp_obs, htilde = computed_obs(x_ref, theta, idx, has)
         accept = jnp.asarray(True)
         if nis_gate is not None:
             # CKF-form innovation (in EKF mode the prior deviation is
@@ -284,9 +314,18 @@ def run_hybrid_od(
         hstate = hstate._replace(x=hstate.x - shift)
         full = x_ref + hstate.x
         out = (full, hstate.x, est.covariance, est.innovation, x_ref, est, accept)
+        if self_consistent:
+            return (x_truth, x_ref, hstate), out + (x_truth,)
         return (x_ref, hstate), out
 
     xs = (meas.obs, meas.station_idx, meas.has_meas, ekf_mask, snc_mask, times)
+    if self_consistent:
+        carry0 = (jnp.asarray(truth0, dtype), x0_ref, hstate0)
+        _, (full, dev, cov, innov, refs, ests, accepted, truths) = jax.lax.scan(
+            body, carry0, xs
+        )
+        return ODResult(full, dev, cov, innov, refs, meas.has_meas, ests,
+                        accepted if nis_gate is not None else None, truths)
     _, (full, dev, cov, innov, refs, ests, accepted) = jax.lax.scan(
         body, (x0_ref, hstate0), xs
     )
@@ -309,6 +348,7 @@ def run_srif_od(
     non_tri_r: bool = False,
     t0: float = 0.0,
     snc_q=None,
+    truth0=None,
 ) -> ODResult:
     """SRIF orbit determination (srif_test.go:66-341 recast as a scan).
 
@@ -321,7 +361,23 @@ def run_srif_od(
     srif._time_update): Q enters as √Q in a stacked Householder pass,
     never as a covariance — so the filter keeps square-root conditioning
     and runs in f32 where hybrid+SNC must run x64.  The reference's
-    SRIF panics on process noise (srif.go:77-79)."""
+    SRIF panics on process noise (srif.go:77-79).
+
+    `truth0` (a [6] truth initial state) switches to SELF-CONSISTENT
+    measurement generation: the truth is co-propagated inside the scan
+    through the same batched integrator/station calls as the filter
+    reference, and the observations are generated in-scan (meas.obs is
+    ignored; has_meas/station_idx still schedule the passes).  This is
+    how the reference's own tests work — one propagator instance feeds
+    both truth and filter (srif_test.go:89-125) — and it is REQUIRED
+    for reference-strict gates on the TPU's emulated x64: separately
+    compiled f64 programs on that backend reproduce each other only to
+    ~1e-7 relative (measured: 2e-4 km of range on a truth regenerated
+    by a second identical-math program), which a Q=0 truth-start filter
+    cannot absorb; batching truth and reference through one compiled
+    call makes the discrepancy cancel in the innovation by
+    construction.  The co-propagated truth is returned in
+    ODResult.truth."""
     x0_ref = jnp.asarray(x0_ref)
     dtype = x0_ref.dtype
     steps = meas.obs.shape[0]
@@ -338,19 +394,49 @@ def run_srif_od(
     model, sstate0, _ = srif.new(jnp.zeros(6, dtype), jnp.asarray(p0), 2,
                                  non_tri_r, noise, gamma=gamma)
     times = t0 + dt * jnp.arange(1, steps + 1, dtype=dtype)
+    self_consistent = truth0 is not None
 
     def body(carry, xs):
-        x_ref, sstate = carry
+        if self_consistent:
+            x_truth, x_ref, sstate = carry
+        else:
+            x_ref, sstate = carry
         real_obs, idx, has, t = xs
-        x_ref, stm = integrators.x_and_jac(phi_flow, x_ref)
         theta = theta0 + c.EARTH_ROTATION_RATE * t
-        comp_obs, htilde = _computed_obs(stations_list, x_ref, theta, idx, has)
+        if self_consistent:
+            # One BATCHED call propagates truth and reference and one
+            # batched call observes both: identical compiled arithmetic
+            # for the pair, so backend-level cross-program f64
+            # discrepancies cancel in the innovation.
+            pair = jnp.stack([x_truth, x_ref])
+            pair_new, stms = jax.vmap(
+                lambda x: integrators.x_and_jac(phi_flow, x))(pair)
+            x_truth = pair_new[0]
+            x_ref = pair_new[1]
+            stm = stms[1]
+            obs_pair, ht_pair = jax.vmap(
+                lambda x: _computed_obs(stations_list, x, theta, idx, has)
+            )(pair_new)
+            real_obs = obs_pair[0]
+            comp_obs, htilde = obs_pair[1], ht_pair[1]
+        else:
+            x_ref, stm = integrators.x_and_jac(phi_flow, x_ref)
+            comp_obs, htilde = _computed_obs(stations_list, x_ref, theta,
+                                             idx, has)
         sstate, est = srif.step(model, sstate, stm, htilde, real_obs, comp_obs, has)
         dev = est.state
         out = (x_ref + dev, dev, est.covariance, est.obs_dev, x_ref, est)
+        if self_consistent:
+            return (x_truth, x_ref, sstate), out + (x_truth,)
         return (x_ref, sstate), out
 
     xs = (meas.obs, meas.station_idx, meas.has_meas, times)
+    if self_consistent:
+        carry0 = (jnp.asarray(truth0, dtype), x0_ref, sstate0)
+        _, (full, dev, cov, innov, refs, ests, truths) = jax.lax.scan(
+            body, carry0, xs)
+        return ODResult(full, dev, cov, innov, refs, meas.has_meas, ests,
+                        None, truths)
     _, (full, dev, cov, innov, refs, ests) = jax.lax.scan(body, (x0_ref, sstate0), xs)
     return ODResult(full, dev, cov, innov, refs, meas.has_meas, ests)
 

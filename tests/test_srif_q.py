@@ -97,27 +97,35 @@ def test_srif_q_accumulates_on_gaps():
 
 
 def test_srif_q_nees_calibrated():
-    """Consistency: NEES over MC truths with real process noise ~ n."""
+    """Consistency: NEES over MC truths with real process noise ~ n.
+
+    One jitted vmap over the MC axis — a per-seed Python loop would
+    rebuild and recompile the scan closure 64 times (measured: slow
+    enough under suite-wide CPU contention to look like a hang)."""
     _, phi, gamma, q, h, r, x0, p0 = _linear_system()
     noise = gk.noise.noiseless(q, r)
     smodel, sstate0, _ = srif.new(x0, p0, 2, False, noise, gamma=gamma)
     steps, n_mc = 60, 64
 
-    def one(seed):
-        xs, ys = _simulate(steps, phi, gamma, q, h, r, x0, seed=seed)
-        has = jnp.ones(steps, bool)
+    sims = [_simulate(steps, phi, gamma, q, h, r, x0, seed=s)
+            for s in range(n_mc)]
+    xs_all = jnp.asarray(np.stack([s[0] for s in sims]))  # [M, T, n]
+    ys_all = jnp.asarray(np.stack([s[1] for s in sims]))  # [M, T, p]
+    has = jnp.ones(steps, bool)
 
+    @jax.jit
+    def nees_chain(xs, ys):
         def body(carry, inp):
             y, m = inp
-            st, est = srif.step(smodel, carry, phi, h, y, jnp.zeros_like(y), m)
+            st, est = srif.step(smodel, carry, phi, h, y,
+                                jnp.zeros_like(y), m)
             return st, (est.state, est.covariance)
 
-        _, (ex, ep) = jax.lax.scan(body, sstate0, (jnp.asarray(ys), has))
+        _, (ex, ep) = jax.lax.scan(body, sstate0, (ys, has))
         err = ex - xs
-        nees = jax.vmap(lambda e, p: e @ jnp.linalg.solve(p, e))(err, ep)
-        return np.asarray(nees)
+        return jax.vmap(lambda e, p: e @ jnp.linalg.solve(p, e))(err, ep)
 
-    nees = np.stack([one(s) for s in range(n_mc)])
+    nees = np.asarray(jax.vmap(nees_chain)(xs_all, ys_all))
     tail = nees[:, steps // 2:].mean()
     assert 1.6 < tail < 2.4, tail  # n = 2
 

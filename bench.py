@@ -13,6 +13,7 @@ Prints exactly one JSON line:
 """
 
 import json
+import os
 import sys
 import time
 
@@ -127,13 +128,45 @@ def smoother_bench():
     }
 
 
+def smoother_bench_guarded(budget_s: float = 900.0):
+    """smoother_bench in a KILLABLE subprocess with a wall-clock budget.
+
+    The tunneled backend can stall indefinitely on a device op (
+    observed: a bench run stuck >25 min at its first smoother
+    dispatch); the headline metric must never be hostage to the
+    secondary one, and an in-process hang cannot be interrupted from
+    Python.  On timeout the child is killed and the headline proceeds
+    (a killed client can wedge the device — acceptable worst case: the
+    main metric then stalls too, which it would have anyway)."""
+    import json as _json
+    import subprocess
+    import sys as _sys
+
+    code = (
+        "import json, bench\n"
+        "print('SMOOTHER_JSON ' + json.dumps(bench.smoother_bench()))\n"
+    )
+    try:
+        out = subprocess.run(
+            [_sys.executable, "-u", "-c", code], capture_output=True,
+            text=True, timeout=budget_s, cwd=os.path.dirname(
+                os.path.abspath(__file__)),
+        )
+        for line in out.stdout.splitlines():
+            if line.startswith("SMOOTHER_JSON "):
+                return _json.loads(line[len("SMOOTHER_JSON "):])
+        return {"smoother_gate_pass": None,
+                "smoother_error": (out.stderr or out.stdout)[-120:]}
+    except subprocess.TimeoutExpired:
+        return {"smoother_gate_pass": None,
+                "smoother_error": f"timeout after {budget_s:.0f}s"}
+    except Exception as e:
+        return {"smoother_gate_pass": None, "smoother_error": repr(e)[:120]}
+
+
 def main():
     model, state0 = make_model()
-    try:
-        smoother_fields = smoother_bench()
-    except Exception as e:  # never block the headline metric
-        smoother_fields = {"smoother_gate_pass": None,
-                           "smoother_error": repr(e)[:120]}
+    smoother_fields = smoother_bench_guarded()
 
     # Primary path: the fused Pallas kernel (ops/pallas_mc.py) — the
     # whole runs x steps pipeline in one kernel launch, ensembles

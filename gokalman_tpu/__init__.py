@@ -8,7 +8,8 @@ chi-square (NEES/NIS) consistency tests, CSV export, and an orbital
 dynamics module for the orbit-determination workloads — plus the
 beyond-reference tier: UKF/SR-UKF (+cubature rule), EnKF/ETKF,
 bootstrap and Rao-Blackwellized particle filters, IMM (linear and UKF
-mode banks), Huber-robust and gated updates, adaptive noise, RTS /
+mode banks), Gaussian-sum filters (multimodal posteriors, Runnalls
+mixture reduction), Huber-robust and gated updates, adaptive noise, RTS /
 unscented / fixed-lag / parallel-in-time smoothers, steady-state
 serving filters, filter-health diagnostics, and device-sharded
 ensemble pipelines.
@@ -42,6 +43,7 @@ from .filters import (
     adaptive,
     batch,
     enkf,
+    gsf,
     hybrid,
     imm,
     information,
@@ -86,4 +88,5 @@ __all__ = [
     "particle",
     "imm",
     "rbpf",
+    "gsf",
 ]

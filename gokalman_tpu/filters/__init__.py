@@ -4,6 +4,7 @@ from . import (
     adaptive,
     batch,
     enkf,
+    gsf,
     hybrid,
     imm,
     information,
@@ -20,4 +21,5 @@ from . import (
 __all__ = [
     "vanilla", "information", "sqrt", "srif", "hybrid", "batch", "ukf",
     "srukf", "adaptive", "smoothing", "enkf", "particle", "imm", "rbpf",
+    "gsf",
 ]

@@ -309,3 +309,78 @@ def test_ctor_errors():
         gsf.new(jnp.zeros((2, 2)), jnp.eye(3), model)  # P0 dim mismatch
     with pytest.raises(ValueError):
         gsf.new(jnp.zeros((2, 2)), jnp.eye(2), [model])  # M mismatch
+
+
+def test_checkpoint_roundtrip_resumes_exactly(tmp_path):
+    """GSF state is a plain pytree: checkpoint/resume is exact,
+    including the log-weights."""
+    from gokalman_tpu import checkpoint
+
+    model = _cv_model()
+    rng = np.random.default_rng(8)
+    ys = jnp.asarray(rng.standard_normal((20, 1)))
+    gm, gst = gsf.new(jnp.array([[0.0, 0.0], [5.0, 0.0]]), jnp.eye(2), model)
+
+    mid, _ = gsf.run(gm, gst, ys[:10])
+    path = str(tmp_path / "gsf_ckpt")
+    checkpoint.save(path, mid)
+    restored = checkpoint.restore(path, mid)
+    np.testing.assert_array_equal(np.asarray(restored.logw),
+                                  np.asarray(mid.logw))
+
+    fin_direct, _ = gsf.run(gm, mid, ys[10:])
+    fin_resumed, _ = gsf.run(gm, restored, ys[10:])
+    np.testing.assert_array_equal(np.asarray(fin_direct.xs),
+                                  np.asarray(fin_resumed.xs))
+    np.testing.assert_array_equal(np.asarray(fin_direct.logw),
+                                  np.asarray(fin_resumed.logw))
+
+
+def test_gsf_log_likelihood_is_differentiable():
+    """The summed mixture log-likelihood differentiates through the
+    whole scan (noise fitting through a multimodal filter), and the
+    gradient points toward the true measurement variance."""
+    rng = np.random.default_rng(9)
+    truth_r = 0.25
+    ys = jnp.asarray(np.sqrt(truth_r) * rng.standard_normal((60, 1)))
+    dt = 0.5
+    f = jnp.array([[1.0, dt], [0.0, 1.0]])
+    h = jnp.array([[1.0, 0.0]])
+    q = 1e-8 * jnp.eye(2)
+
+    def total_ll(log_r):
+        model, _ = vanilla.new(
+            jnp.zeros(2), jnp.eye(2), f, None, h,
+            gk.noise.noiseless(q, jnp.exp(log_r) * jnp.ones((1, 1))))
+        gm, gst = gsf.new(jnp.zeros((2, 2)), jnp.eye(2), model)
+        _, est = gsf.run(gm, gst, ys)
+        return jnp.sum(est.log_likelihood)
+
+    g_small = float(jax.grad(total_ll)(jnp.log(0.01)))
+    g_large = float(jax.grad(total_ll)(jnp.log(25.0)))
+    assert np.isfinite(g_small) and np.isfinite(g_large)
+    assert g_small > 0.0 and g_large < 0.0, (g_small, g_large)
+
+
+def test_f32_weight_collapse_stays_finite():
+    """Log-space weights survive f32 hypothesis collapse: a hopeless
+    hypothesis underflows in probability but the mixture stays finite
+    and resolves correctly."""
+    dt = 0.5
+    f32 = jnp.float32
+    f = jnp.array([[1.0, dt], [0.0, 1.0]], f32)
+    h = jnp.array([[1.0, 0.0]], f32)
+    q = jnp.asarray(1e-6 * np.eye(2), f32)
+    r = jnp.array([[0.04]], f32)
+    model, _ = vanilla.new(jnp.zeros(2, f32), jnp.eye(2, dtype=f32), f,
+                           None, h, gk.noise.noiseless(q, r))
+    rng = np.random.default_rng(10)
+    ys = jnp.asarray(0.2 * rng.standard_normal((80, 1)), f32)
+    gm, gst = gsf.new(jnp.array([[0.0, 0.0], [300.0, 0.0]], f32),
+                      jnp.eye(2, dtype=f32), model)
+    fst, est = gsf.run(gm, gst, ys)
+    assert est.state.dtype == jnp.float32
+    w = np.asarray(est.weights)
+    assert np.isfinite(np.asarray(est.state)).all()
+    assert np.isfinite(np.asarray(fst.logw)).all()
+    assert w[-1, 0] > 1.0 - 1e-6, w[-1]

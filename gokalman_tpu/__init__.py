@@ -35,6 +35,7 @@ from . import (
     ops,
     parallel,
     profiling,
+    sysid,
     truth,
     types,
 )
@@ -89,4 +90,5 @@ __all__ = [
     "imm",
     "rbpf",
     "gsf",
+    "sysid",
 ]

@@ -157,3 +157,155 @@ def divergence_onset(nis_sequence, dof: int, window: int = 20,
     idx = jnp.argmax(bad)
     found = jnp.any(bad)
     return jnp.where(found, (idx + 1) * window - 1, -1)
+
+
+def pcrb(phis, hs, q, r, j0):
+    """Posterior Cramér-Rao bound (Tichavský, Muravchik & Nehorai 1998)
+    for additive-Gaussian state-space models: the information recursion
+
+        J_{k+1} = D22_k − D21_k (J_k + D11_k)⁻¹ D12_k
+        D11 = E[F_kᵀ Q⁻¹ F_k],  D12 = −E[F_kᵀ] Q⁻¹,
+        D22 = Q⁻¹ + E[H_{k+1}ᵀ R⁻¹ H_{k+1}]
+
+    whose inverse lower-bounds the error covariance of ANY estimator —
+    the yardstick that says whether a filter's RMS error is the
+    filter's fault or the problem's.  The reference has no analogue;
+    its consistency tier (chisquare.go) can only say a filter believes
+    itself, not how far it sits from optimal.
+
+    `phis` [T, n, n] are dynamics Jacobians (phis[k] maps step k to
+    k+1) and `hs` [T, p, n] measurement Jacobians at steps 1..T — the
+    alignment of a `vanilla.run`/`hybrid` trace.  For nonlinear systems
+    pass SAMPLED Jacobian stacks [S, T, ...] evaluated along S truth
+    trajectories; the expectations above are averaged over the sample
+    axis (the Monte-Carlo PCRB).  `j0` is the prior information P0⁻¹.
+
+    Returns (info [T, n, n], bounds [T, n, n]) with bounds[k] = J⁻¹
+    aligned with the filter's posterior covariance at estimate index k.
+    For a linear-Gaussian model the bound EQUALS the Kalman filter's
+    posterior covariance sequence (pinned in tests/test_pcrb.py) — the
+    KF is efficient.
+    """
+    phis = jnp.asarray(phis)
+    hs = jnp.asarray(hs)
+    q = jnp.atleast_2d(jnp.asarray(q))
+    r = jnp.atleast_2d(jnp.asarray(r))
+    qinv = _psd_inv(q)
+    rinv = _psd_inv(r)
+
+    if phis.ndim == 3:
+        phis = phis[None]
+    if hs.ndim == 3:
+        hs = hs[None]
+    # Matrix-inversion-lemma form of the recursion: the textbook
+    # J = Q⁻¹ + HᵀR⁻¹H − Q⁻¹E[F](J + D11)⁻¹E[F]ᵀQ⁻¹ subtracts two
+    # Q⁻¹-sized terms and loses ~κ(Q) digits (the reference-derived OD
+    # models carry Q ~ 1e-15).  Writing D11 = E[F]ᵀQ⁻¹E[F] + ΔD11 with
+    # the CENTERED sample covariance ΔD11 = E[(F−E[F])ᵀQ⁻¹(F−E[F])]
+    # (exactly zero for deterministic Jacobians) turns it into
+    #     J_{k+1} = (Q + E[F](J_k + ΔD11_k)⁻¹E[F]ᵀ)⁻¹ + E[HᵀR⁻¹H]
+    # — algebraically identical, no cancellation, and in the
+    # deterministic case literally the information-form Riccati
+    # recursion, so the linear-KF parity test holds to roundoff.
+    ef = jnp.mean(phis, 0)  # E[F_k]
+    phic = phis - ef[None]
+    dd11 = jnp.mean(jnp.einsum("stji,jk,stkl->stil", phic, qinv, phic), 0)
+    hrh = jnp.mean(jnp.einsum("stji,jk,stkl->stil", hs, rinv, hs), 0)
+
+    def body(j, xs):
+        dd11_k, ef_k, hrh_k = xs
+        inner = j + dd11_k
+        # PSD (Cholesky) solves throughout — TPU x64 has no LU.
+        chol = jnp.linalg.cholesky(_sym(inner))
+        p_pred = q + ef_k @ jax.scipy.linalg.cho_solve((chol, True), ef_k.T)
+        j_new = _sym(_psd_inv(p_pred) + hrh_k)
+        return j_new, j_new
+
+    _, info = jax.lax.scan(body, _sym(jnp.asarray(j0)), (dd11, ef, hrh))
+    bounds = jax.vmap(_psd_inv)(info)
+    return info, bounds
+
+
+class ObservabilityResult(NamedTuple):
+    gramian: jax.Array  # [n, n] information accumulated at the epoch
+    eigvals: jax.Array  # [n] ascending eigenvalues
+    rank: jax.Array  # [] numerical rank
+    cond: jax.Array  # [] max/min-positive eigenvalue ratio
+
+
+def observability_gramian(phis, hs, rs=None, rtol: float = 1e-9):
+    """Stochastic observability Gramian at the initial epoch:
+    G = Σ_k Φ(k,0)ᵀ H_kᵀ R_k⁻¹ H_k Φ(k,0) — the information an arc of
+    measurements carries about x_0.  A rank-deficient G means some
+    state direction is UNOBSERVABLE from the arc (its eigenvector says
+    which); the condition number quantifies how ill-posed the epoch
+    estimation problem is before any filter runs.
+
+    This is the quantitative form of the question the reference's
+    statOD workloads answer empirically by watching covariance traces
+    (srif_test.go's 24h tracking arcs): e.g. a single short
+    station pass yields a Gramian orders of magnitude worse-conditioned
+    than the full multi-station day (tests/test_observability.py).
+
+    `phis` [T, n, n]: phis[k] maps step k to k+1; `hs` [T, p, n]:
+    measurement Jacobian at step k+1 — so entry k covers the
+    measurement a filter assimilates at estimate index k, and
+    Φ(k, 0) = phis[k-1] ⋯ phis[0] composed with phis[k]... the scan
+    accumulates Φ ← phis[k] Φ before applying hs[k].  `rs` ([p, p] or
+    [T, p, p]) defaults to identity (unweighted geometric Gramian).
+    """
+    phis = jnp.asarray(phis)
+    hs = jnp.asarray(hs)
+    t, _, n = phis.shape
+    p = hs.shape[-2]
+    if rs is None:
+        rinvs = jnp.broadcast_to(jnp.eye(p, dtype=hs.dtype), (t, p, p))
+    else:
+        rs = jnp.asarray(rs)
+        if rs.ndim == 2:
+            rinvs = jnp.broadcast_to(_psd_inv(rs), (t, p, p))
+        else:
+            rinvs = jax.vmap(_psd_inv)(rs)
+
+    def body(carry, xs):
+        phi_cum, g = carry
+        phi_k, h_k, rinv_k = xs
+        phi_cum = phi_k @ phi_cum
+        hphi = h_k @ phi_cum
+        g = g + hphi.T @ rinv_k @ hphi
+        return (phi_cum, g), None
+
+    init = (jnp.eye(n, dtype=phis.dtype), jnp.zeros((n, n), dtype=phis.dtype))
+    (_, g), _ = jax.lax.scan(body, init, (phis, hs, rinvs))
+    g = _sym(g)
+    w = jnp.linalg.eigvalsh(g)
+    tol = rtol * jnp.maximum(w[-1], jnp.finfo(g.dtype).tiny)
+    rank = jnp.sum(w > tol)
+    w_floor = jnp.where(w > tol, w, w[-1])
+    cond = w[-1] / jnp.min(w_floor)
+    return ObservabilityResult(g, w, rank, cond)
+
+
+def observability_matrix(f, h):
+    """LTI observability matrix [H; HF; …; HF^{n-1}] ([n·p, n]) and its
+    numerical rank — the structural (noise-free) test; use
+    observability_gramian for the arc-and-weights version."""
+    f = jnp.asarray(f)
+    h = jnp.atleast_2d(jnp.asarray(h))
+    n = f.shape[0]
+    rows = [h]
+    for _ in range(n - 1):
+        rows.append(rows[-1] @ f)
+    obs = jnp.concatenate(rows, axis=0)
+    return obs, jnp.linalg.matrix_rank(obs)
+
+
+def _sym(m):
+    return 0.5 * (m + m.swapaxes(-1, -2))
+
+
+def _psd_inv(m):
+    """Cholesky-based symmetric inverse (TPU x64 has no LU)."""
+    chol = jnp.linalg.cholesky(_sym(m))
+    eye = jnp.eye(m.shape[-1], dtype=m.dtype)
+    return jax.scipy.linalg.cho_solve((chol, True), eye)

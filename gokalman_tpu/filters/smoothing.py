@@ -46,11 +46,15 @@ def phi_inverse_smoother(phis, states, covs):
 
 
 @linalg.highp
-def rts_smoother(phis, q, means, covs):
+def rts_smoother(phis, q, means, covs, offsets=None):
     """Rauch-Tung-Striebel fixed-interval smoother for time-varying
     transitions: given filtered (means [T,n], covs [T,n,n]), the
     per-step STMs Φ_{k+1} ([T,n,n], phis[k] maps k-1 -> k) and process
     noise Q, returns the statistically optimal smoothed moments.
+
+    `offsets` ([T, n] or None) are deterministic prediction offsets
+    b_k with x^-_k = Φ_k x_{k-1} + b_k (e.g. b_k = G u_k for a
+    controlled system); offsets[0] is unused, like phis[0].
 
     The reference has no RTS smoother at all — its SmoothAll is the
     deterministic Φ-inverse backmap (phi_inverse_smoother above).  For
@@ -60,12 +64,12 @@ def rts_smoother(phis, q, means, covs):
 
     def body(carry, xs):
         x_next, p_next = carry
-        phi_next, x_k, p_k, is_last = xs
+        phi_next, b_next, x_k, p_k, is_last = xs
         p_pred = phi_next @ p_k @ phi_next.T + q
         # C = P_k Φ^T P_pred^{-1} via a solve on the transpose.
         # PSD solve (Cholesky): TPU x64 has no LU decomposition.
         c = linalg.solve_psd(p_pred, phi_next @ p_k.T).T
-        x_sm = x_k + c @ (x_next - phi_next @ x_k)
+        x_sm = x_k + c @ (x_next - (phi_next @ x_k + b_next))
         p_sm = linalg.sym(p_k + c @ (p_next - p_pred) @ c.T)
         x_out = jnp.where(is_last, x_k, x_sm)
         p_out = jnp.where(is_last, p_k, p_sm)
@@ -74,9 +78,13 @@ def rts_smoother(phis, q, means, covs):
     t = means.shape[0]
     is_last = jnp.arange(t) == (t - 1)
     phi_next = jnp.roll(phis, -1, axis=0)
+    if offsets is None:
+        b_next = jnp.zeros_like(means)
+    else:
+        b_next = jnp.roll(jnp.asarray(offsets), -1, axis=0)
     init = (means[-1], covs[-1])
     _, (xs_sm, ps_sm) = jax.lax.scan(
-        body, init, (phi_next, means, covs, is_last), reverse=True
+        body, init, (phi_next, b_next, means, covs, is_last), reverse=True
     )
     return xs_sm, ps_sm
 
@@ -138,3 +146,74 @@ def fixed_lag_smoother(phis, q, means, covs, lag: int):
 
     xs, ps = jax.vmap(smooth_at)(jnp.arange(t))
     return xs, ps
+
+
+@linalg.highp
+def fixed_point_smoother(f, h, r, means, covs, innovations, pred_covs, k0: int):
+    """Fixed-point smoother: the streaming refinement x_{k0 | k} of ONE
+    fixed past state (an injection epoch, a launch state, an anchor
+    calibration instant) as measurements keep arriving — the third
+    classical smoothing problem next to fixed-interval (rts_smoother)
+    and fixed-lag (fixed_lag_smoother).  The reference has no smoothers
+    beyond the Φ-inverse backmap (hybrid.go:209-238).
+
+    Runs the standard augmented-state recursion without materializing
+    the augmentation: carry the cross-covariance Σ_k = Cov(x_{k0}, x_k)
+    and update with the filter's own innovations,
+
+        Σ^-_k   = Σ_{k-1} Fᵀ
+        B_k     = Σ^-_k Hᵀ S_k⁻¹          (fixed-point gain)
+        x_{k0|k} = x_{k0|k-1} + B_k ν_k
+        P_{k0|k} = P_{k0|k-1} − B_k S_k B_kᵀ
+        Σ_k     = Σ^-_k (I − K_k H)ᵀ
+
+    Inputs come straight from a `vanilla.run` trace: filtered `means`
+    [T,n] / `covs` [T,n,n], `innovations` [T,p] and `pred_covs`
+    [T,n,n] (Estimate.innovation / .pred_covariance).  `f`, `h`, `r`
+    may be single matrices or stacked [T,...] schedules.  `k0` is the
+    (0-based) index of the fixed estimate in the trace.
+
+    Returns (x_fp [T,n], p_fp [T,n,n]) where entry k >= k0 is the
+    moment pair of x_{k0} given y_{0..k}; entries before k0 pass the
+    filtered trace through unchanged.  O(1) memory per step — suitable
+    for streaming — and the final entry equals the fixed-interval RTS
+    smoother at k0 (pinned in tests/test_smoothing.py).
+    """
+    t, n = means.shape
+    f = jnp.broadcast_to(jnp.asarray(f), (t, n, n))
+    h = jnp.asarray(h)
+    h = jnp.broadcast_to(h, (t,) + h.shape[-2:])
+    r = jnp.asarray(r)
+    r = jnp.broadcast_to(r, (t,) + r.shape[-2:])
+    eye = jnp.eye(n, dtype=means.dtype)
+
+    def body(carry, xs):
+        x_fp, p_fp, sigma = carry
+        k, f_k, h_k, r_k, x_filt, p_filt, innov, p_pred = xs
+        # k == k0: seed the recursion from the filtered moments.
+        x0_new = jnp.where(k == k0, x_filt, x_fp)
+        p0_new = jnp.where(k == k0, p_filt, p_fp)
+        s0_new = jnp.where(k == k0, p_filt, sigma)
+        # k > k0: innovation update of the fixed point.
+        sigma_pred = sigma @ f_k.T
+        s_k = h_k @ p_pred @ h_k.T + r_k
+        b_gain = linalg.solve_psd(s_k, (sigma_pred @ h_k.T).T).T
+        k_gain = linalg.solve_psd(s_k, (p_pred @ h_k.T).T).T
+        x_upd = x_fp + b_gain @ innov
+        p_upd = linalg.sym(p_fp - b_gain @ s_k @ b_gain.T)
+        sigma_upd = sigma_pred @ (eye - k_gain @ h_k).T
+        active = k > k0
+        x_new = jnp.where(active, x_upd, x0_new)
+        p_new = jnp.where(active, p_upd, p0_new)
+        sigma_new = jnp.where(active, sigma_upd, s0_new)
+        # Before k0 the fixed point does not exist yet: emit the
+        # filtered trace so the output is total over [0, T).
+        x_out = jnp.where(k < k0, x_filt, x_new)
+        p_out = jnp.where(k < k0, p_filt, p_new)
+        return (x_new, p_new, sigma_new), (x_out, p_out)
+
+    init = (jnp.zeros(n, means.dtype), jnp.zeros((n, n), means.dtype),
+            jnp.zeros((n, n), means.dtype))
+    xs = (jnp.arange(t), f, h, r, means, covs, innovations, pred_covs)
+    _, (x_fp, p_fp) = jax.lax.scan(body, init, xs)
+    return x_fp, p_fp

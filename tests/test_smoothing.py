@@ -234,3 +234,88 @@ def test_fixed_lag_smoother_time_varying_phis():
                                         covs[: k + lag + 1])
         np.testing.assert_allclose(xl[k], xr[k], atol=1e-10)
         np.testing.assert_allclose(pl[k], pr[k], atol=1e-10)
+
+
+def test_rts_offsets_match_numpy_controlled():
+    """RTS with deterministic prediction offsets (b_k = G u_k) against
+    a control-aware numpy reference loop."""
+    rng = np.random.default_rng(8)
+    n, t = 3, 20
+    phis = np.stack([np.eye(n) + 0.08 * rng.standard_normal((n, n))
+                     for _ in range(t)])
+    offsets = 0.3 * rng.standard_normal((t, n))
+    q = random_spd(rng, n, 0.05)
+    means = rng.standard_normal((t, n))
+    covs = np.stack([random_spd(rng, n, 0.5) for _ in range(t)])
+
+    sm, sc = smoothing.rts_smoother(
+        jnp.asarray(phis), jnp.asarray(q), jnp.asarray(means),
+        jnp.asarray(covs), offsets=jnp.asarray(offsets)
+    )
+    xs = means.copy()
+    ps = covs.copy()
+    for k in range(t - 2, -1, -1):
+        f = phis[k + 1]
+        p_pred = f @ covs[k] @ f.T + q
+        c = covs[k] @ f.T @ np.linalg.inv(p_pred)
+        xs[k] = means[k] + c @ (xs[k + 1] - f @ means[k] - offsets[k + 1])
+        ps[k] = covs[k] + c @ (ps[k + 1] - p_pred) @ c.T
+    np.testing.assert_allclose(np.asarray(sm), xs, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(sc),
+                               0.5 * (ps + ps.transpose(0, 2, 1)),
+                               rtol=1e-7, atol=1e-10)
+    # offsets=None keeps the historical behavior bit-for-bit.
+    sm0, _ = smoothing.rts_smoother(jnp.asarray(phis), jnp.asarray(q),
+                                    jnp.asarray(means), jnp.asarray(covs))
+    sm0z, _ = smoothing.rts_smoother(jnp.asarray(phis), jnp.asarray(q),
+                                     jnp.asarray(means), jnp.asarray(covs),
+                                     offsets=jnp.zeros((t, n)))
+    np.testing.assert_allclose(np.asarray(sm0), np.asarray(sm0z))
+
+
+def test_fixed_point_smoother_converges_to_rts():
+    """x_{k0|T} from the streaming fixed-point recursion equals the
+    fixed-interval RTS smoother at k0; intermediate covariances shrink
+    monotonically; entries before k0 pass the filter trace through."""
+    from gokalman_tpu.filters import vanilla as v
+    rng = np.random.default_rng(21)
+    n, t, k0 = 2, 30, 10
+    dt = 0.5
+    f = jnp.array([[1.0, dt], [0.0, 1.0]])
+    h = jnp.array([[1.0, 0.0]])
+    q = jnp.asarray(0.05 * np.array([[dt**3 / 3, dt**2 / 2],
+                                     [dt**2 / 2, dt]]))
+    r = jnp.array([[0.3]])
+    ys = jnp.asarray(rng.standard_normal((t, 1)))
+    model, state = v.new(jnp.zeros(n), jnp.eye(n), f, None, h,
+                         gn.noiseless(q, r))
+    _, ests = v.run(model, state, ys)
+
+    x_fp, p_fp = smoothing.fixed_point_smoother(
+        f, h, r, ests.state, ests.covariance,
+        ests.innovation, ests.pred_covariance, k0
+    )
+    phis = jnp.broadcast_to(f, (t, n, n))
+    xr, pr = smoothing.rts_smoother(phis, q, ests.state, ests.covariance)
+    np.testing.assert_allclose(np.asarray(x_fp[-1]), np.asarray(xr[k0]),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(p_fp[-1]), np.asarray(pr[k0]),
+                               rtol=1e-8, atol=1e-12)
+    # Seed: at k0 the fixed point IS the filtered estimate.
+    np.testing.assert_allclose(np.asarray(x_fp[k0]),
+                               np.asarray(ests.state[k0]))
+    # Monotone information gain: trace never increases past k0.
+    traces = np.trace(np.asarray(p_fp), axis1=1, axis2=2)
+    assert np.all(np.diff(traces[k0:]) <= 1e-12)
+    # Passthrough before the fixed point exists.
+    np.testing.assert_allclose(np.asarray(x_fp[:k0]),
+                               np.asarray(ests.state[:k0]))
+    # Mid-stream consistency: x_{k0|k} equals RTS on the truncated arc.
+    for k in (k0, k0 + 3, t - 2):
+        xr_k, pr_k = smoothing.rts_smoother(
+            phis[: k + 1], q, ests.state[: k + 1], ests.covariance[: k + 1]
+        )
+        np.testing.assert_allclose(np.asarray(x_fp[k]), np.asarray(xr_k[k0]),
+                                   rtol=1e-8, atol=1e-11)
+        np.testing.assert_allclose(np.asarray(p_fp[k]), np.asarray(pr_k[k0]),
+                                   rtol=1e-7, atol=1e-11)

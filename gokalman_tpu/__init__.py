@@ -50,6 +50,7 @@ from .filters import (
     information,
     particle,
     rbpf,
+    schmidt,
     sqrt,
     srif,
     srukf,
@@ -90,5 +91,6 @@ __all__ = [
     "imm",
     "rbpf",
     "gsf",
+    "schmidt",
     "sysid",
 ]

@@ -10,6 +10,7 @@ from . import (
     information,
     particle,
     rbpf,
+    schmidt,
     smoothing,
     sqrt,
     srif,
@@ -21,5 +22,5 @@ from . import (
 __all__ = [
     "vanilla", "information", "sqrt", "srif", "hybrid", "batch", "ukf",
     "srukf", "adaptive", "smoothing", "enkf", "particle", "imm", "rbpf",
-    "gsf",
+    "gsf", "schmidt",
 ]

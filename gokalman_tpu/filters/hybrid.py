@@ -49,6 +49,8 @@ class Estimate(NamedTuple):
     covariance: jax.Array
     pred_covariance: jax.Array
     gain: jax.Array
+    htilde: jax.Array  # [p, n] measurement Jacobian (for smoothing /
+    # post-run consider covariance analysis, schmidt.consider_analysis)
 
     def within_nsigma(self, n_sigma) -> jax.Array:
         return linalg.is_within_nsigma(self.state, self.covariance, n_sigma)
@@ -91,6 +93,7 @@ def predict(model: Model, state: State, phi, gamma=None, ekf=False):
         covariance=p_bar,
         pred_covariance=p_bar,
         gain=jnp.zeros((state.x.shape[0], p), dtype=state.x.dtype),
+        htilde=jnp.zeros((p, state.x.shape[0]), dtype=state.x.dtype),
     )
     return State(x_bar, p_bar, state.k + 1), est
 
@@ -136,6 +139,7 @@ def update(
         covariance=p,
         pred_covariance=p_bar,
         gain=k_gain,
+        htilde=htilde,
     )
     return State(x_hat, p, state.k + 1), est
 
@@ -179,6 +183,7 @@ def iekf_update(model: Model, state: State, phi, obs_fn, real_obs,
         covariance=p,
         pred_covariance=p_bar,
         gain=k_gain,
+        htilde=h_i,
     )
     return State(x_i, p, state.k + 1), est
 

@@ -196,6 +196,116 @@ def run(model: Model, state: State, measurements, controls=None):
     return jax.lax.scan(body, state, (measurements, jnp.asarray(controls)))
 
 
+class AnalysisResult(NamedTuple):
+    covariance: jax.Array  # [T, n, n] TRUE error covariance of the run
+    cross_covariance: jax.Array  # [T, n, q] Cov(error, c)
+    formal_covariance: jax.Array  # [T, n, n] what the filter believed
+
+
+@linalg.highp
+def consider_analysis(
+    phis,
+    hs,
+    gains,
+    q,
+    r,
+    consider_cov,
+    hc=None,
+    b=None,
+    fc=None,
+    qc=None,
+    p0=None,
+):
+    """Consider covariance ANALYSIS (TSB §6.6.2): given the gain
+    sequence an already-designed filter actually used — a filter that
+    IGNORED the consider parameters — compute the true error covariance
+    of that filter's estimates.
+
+    This is the post-design question the Schmidt filter's online form
+    answers in-loop: "my flight filter doesn't model the station bias;
+    how wrong is its covariance?".  The recursion propagates the error
+    e = x̂ − x jointly with c (S = Cov(e, c)):
+
+        e⁻ = Φ e − B c − w            S⁻ = Φ S − B Pcc
+        e  = (I−KH) e⁻ + K Hc c + K v
+        S  = (I−KH) S⁻ + K Hc Pcc
+        P  = (I−KH) P⁻ (I−KH)' + K R K' + K Hc Pcc Hc' K'
+             + (I−KH) S⁻ Hc' K' + (K Hc S⁻')(I−KH)'
+
+    Exactness pins (tests/test_schmidt.py): with Hc = B = 0 the result
+    IS the filter's formal covariance; fed the Schmidt filter's own
+    gains it reproduces the Schmidt Pxx/Pxc to roundoff (the Schmidt
+    covariance is the true covariance of the constrained estimator);
+    against a Monte Carlo over bias draws it matches the naive filter's
+    empirical error covariance.
+
+    `phis`/`hs`/`gains` are [T, n, n]/[T, p, n]/[T, n, p] stacks from a
+    filter trace (e.g. `Estimate.gain` + the model matrices, or an OD
+    run's `ests.phi`/`ests.htilde`/`ests.gain`); `q`/`r` may be single
+    matrices or [T, ...] stacks.  `consider_cov` is Pcc(0); `fc`/`qc`
+    give the considers dynamics (default constants).  `p0` is the
+    filter's initial covariance (defaults: the true initial error
+    covariance equals it, with zero initial cross-covariance).
+    """
+    phis = jnp.asarray(phis)
+    t, n, _ = phis.shape
+    hs = jnp.asarray(hs)
+    gains = jnp.asarray(gains)
+    pcc0 = jnp.atleast_2d(jnp.asarray(consider_cov))
+    qdim = pcc0.shape[0]
+    p = hs.shape[-2]
+    dt = phis.dtype
+    q = jnp.broadcast_to(jnp.atleast_2d(jnp.asarray(q)), (t, n, n))
+    r = jnp.broadcast_to(jnp.atleast_2d(jnp.asarray(r)), (t, p, p))
+    hc = (jnp.zeros((t, p, qdim), dt) if hc is None
+          else jnp.broadcast_to(jnp.asarray(hc), (t, p, qdim)))
+    b = (jnp.zeros((t, n, qdim), dt) if b is None
+         else jnp.broadcast_to(jnp.asarray(b), (t, n, qdim)))
+    fc = (jnp.broadcast_to(jnp.eye(qdim, dtype=dt), (t, qdim, qdim))
+          if fc is None else jnp.broadcast_to(jnp.asarray(fc), (t, qdim, qdim)))
+    qc = (jnp.zeros((t, qdim, qdim), dt) if qc is None
+          else jnp.broadcast_to(jnp.asarray(qc), (t, qdim, qdim)))
+    if p0 is None:
+        raise ValueError("p0 (the filter's initial covariance) is required")
+    p0 = jnp.asarray(p0)
+    eye = jnp.eye(n, dtype=dt)
+
+    def body(carry, xs):
+        p_true, s, pcc = carry
+        phi_k, h_k, k_k, q_k, r_k, hc_k, b_k, fc_k, qc_k = xs
+        # time update of (e, c) jointly
+        p_pred = (phi_k @ p_true @ phi_k.T + q_k
+                  + b_k @ pcc @ b_k.T
+                  - phi_k @ s @ b_k.T - b_k @ (phi_k @ s).T)
+        s_pred = phi_k @ s @ fc_k.T - b_k @ pcc @ fc_k.T
+        pcc_new = fc_k @ pcc @ fc_k.T + qc_k
+        # measurement update with the GIVEN gain
+        ikh = eye - k_k @ h_k
+        khc = k_k @ hc_k
+        p_new = (ikh @ p_pred @ ikh.T + k_k @ r_k @ k_k.T
+                 + khc @ pcc_new @ khc.T
+                 + ikh @ s_pred @ khc.T + khc @ s_pred.T @ ikh.T)
+        s_new = ikh @ s_pred + khc @ pcc_new
+        # the filter's own (consider-blind) formal covariance
+        return ((linalg.sym(p_new), s_new, linalg.sym(pcc_new)),
+                (linalg.sym(p_new), s_new))
+
+    init = (p0, jnp.zeros((n, qdim), dt), pcc0)
+    _, (p_true, s_out) = jax.lax.scan(
+        body, init, (phis, hs, gains, q, r, hc, b, fc, qc))
+
+    # formal covariances: same recursion with the considers zeroed
+    def formal_body(pf, xs):
+        phi_k, h_k, k_k, q_k, r_k = xs
+        p_pred = phi_k @ pf @ phi_k.T + q_k
+        ikh = eye - k_k @ h_k
+        p_new = linalg.sym(ikh @ p_pred @ ikh.T + k_k @ r_k @ k_k.T)
+        return p_new, p_new
+
+    _, p_formal = jax.lax.scan(formal_body, p0, (phis, hs, gains, q, r))
+    return AnalysisResult(p_true, s_out, p_formal)
+
+
 @linalg.highp
 def consider_inflation(model: Model, estimate: Estimate):
     """The consider contribution to Pxx: the conditional decomposition

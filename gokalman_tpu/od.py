@@ -636,6 +636,71 @@ def run_batch_od(
     return x0_est, p0, jnp.stack(rms_hist)
 
 
+def consider_bias_analysis(
+    result: ODResult,
+    meas: MeasurementSet,
+    p0,
+    r,
+    bias_sigmas,
+    range_row: int = 0,
+):
+    """Consider covariance analysis of an OD run for unestimated
+    per-station range biases (TSB §6.6.2, the canonical statOD consider
+    problem; the reference estimates full states only, srif_test.go).
+
+    Answers, post-flight and without re-running the filter: "my OD
+    solution ignored station range biases with a-priori sigmas
+    `bias_sigmas` [n_stations] (km) — what is the TRUE error covariance
+    of the states it produced?".  Uses the exact trace the hybrid run
+    recorded (per-step STM, measurement Jacobian, gain), so the result
+    is specific to THIS arc's pass geometry, not a generic bound.
+
+    Mechanics: the per-step effective process noise the filter actually
+    applied (SNC schedules, DMC Q, anything) is recovered exactly from
+    the trace as Q_k = P̄_k − Φ_k P_{k-1} Φ_kᵀ, which makes the
+    analysis's formal-covariance recursion reproduce `result.covariances`
+    to roundoff (asserted in tests) — the consider recursion then rides
+    on top via schmidt.consider_analysis.  The bias observation matrix
+    is Hc_k = e_{range_row} ⊗ onehot(station_idx_k) on measurement
+    steps, zero elsewhere.
+
+    Returns schmidt.AnalysisResult ([T] stacks): `covariance` is the
+    true error covariance (its formal counterpart understates it
+    whenever a pass geometry makes the biases matter), and
+    `cross_covariance` Cov(error, bias) shows which station's bias the
+    estimate has absorbed.
+    """
+    from .filters import schmidt
+
+    ests = result.estimates
+    phis = ests.phi
+    hs = ests.htilde
+    gains = ests.gain
+    t, n, _ = phis.shape
+    p_meas = hs.shape[1]
+    dtype = phis.dtype
+    bias_sigmas = jnp.asarray(bias_sigmas, dtype)
+    n_st = bias_sigmas.shape[0]
+    p0 = jnp.asarray(p0, dtype)
+
+    # Exact per-step additive process noise from the trace.
+    prev_cov = jnp.concatenate([p0[None], result.covariances[:-1]], axis=0)
+    q_eff = ests.pred_covariance - jnp.einsum(
+        "tij,tjk,tlk->til", phis, prev_cov, phis)
+
+    onehot = (jnp.arange(n_st)[None, :] == meas.station_idx[:, None]).astype(dtype)
+    onehot = onehot * meas.has_meas[:, None].astype(dtype)
+    if result.accepted is not None:
+        onehot = onehot * result.accepted[:, None].astype(dtype)
+    hc = jnp.zeros((t, p_meas, n_st), dtype)
+    hc = hc.at[:, range_row, :].set(onehot)
+
+    return schmidt.consider_analysis(
+        phis, hs, gains, q_eff, jnp.asarray(r, dtype),
+        consider_cov=jnp.diag(bias_sigmas**2), hc=hc, p0=p0,
+    )
+
+
 def rms_errors(result: ODResult, truth_states, tail: float = 0.5):
     """Position/velocity RMS of the estimation error over the last
     `tail` fraction of the arc (the srif_test.go:331-340 gate)."""

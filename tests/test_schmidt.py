@@ -200,3 +200,69 @@ def test_dim_checks():
     with pytest.raises(ValueError):
         schmidt.new(jnp.zeros(3), jnp.eye(3), f, h, noise.noiseless(q, r),
                     consider_cov=jnp.eye(1))
+
+
+def test_consider_analysis_reduces_to_formal():
+    f, q, h, r = _cv_model()
+    x0, p0 = jnp.zeros(2), jnp.eye(2)
+    vm, vs = vanilla.new(x0, p0, f, None, h, noise.noiseless(q, r))
+    ys = jnp.zeros((60, 1))
+    _, ve = vanilla.run(vm, vs, ys)
+    t = 60
+    res = schmidt.consider_analysis(
+        jnp.broadcast_to(f, (t, 2, 2)), jnp.broadcast_to(h, (t, 1, 2)),
+        ve.gain, q, r, consider_cov=jnp.eye(1) * 4.0, p0=p0)
+    np.testing.assert_allclose(res.covariance, ve.covariance, atol=1e-12)
+    np.testing.assert_allclose(res.formal_covariance, ve.covariance, atol=1e-12)
+    np.testing.assert_allclose(res.cross_covariance, 0.0, atol=1e-12)
+
+
+def test_consider_analysis_matches_schmidt_filter():
+    """Fed the Schmidt filter's own gains, the analysis reproduces the
+    Schmidt-carried Pxx/Pxc: the Schmidt covariance IS the true error
+    covariance of the constrained estimator."""
+    f, q, h, r = _cv_model()
+    x0, p0 = jnp.zeros(2), jnp.diag(jnp.array([1.0, 0.09]))
+    pcc = jnp.array([[0.36]])
+    hc = jnp.array([[1.0]])
+    sm, ss = schmidt.new(x0, p0, f, h, noise.noiseless(q, r),
+                         consider_cov=pcc, hc=hc)
+    t = 120
+    _, se = schmidt.run(sm, ss, jnp.zeros((t, 1)))
+    res = schmidt.consider_analysis(
+        jnp.broadcast_to(f, (t, 2, 2)), jnp.broadcast_to(h, (t, 1, 2)),
+        se.gain, q, r, consider_cov=pcc, hc=hc, p0=p0)
+    np.testing.assert_allclose(res.covariance, se.covariance,
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.abs(res.cross_covariance),
+                               np.abs(se.cross_covariance),
+                               rtol=1e-9, atol=1e-12)
+
+
+def test_consider_analysis_monte_carlo_pin():
+    """The analysis covariance equals the naive filter's EMPIRICAL
+    error covariance over random bias draws."""
+    f, q, h, r = _cv_model()
+    x0, p0 = jnp.zeros(2), jnp.diag(jnp.array([1.0, 0.09]))
+    bias_sigma = 0.6
+    t, n_mc = 120, 4096
+    vm, vs = vanilla.new(x0, p0, f, None, h, noise.noiseless(q, r))
+
+    def one(key):
+        truth, ys, _ = _bias_scenario(key, t=t, bias_sigma=bias_sigma)
+        _, ve = vanilla.run(vm, vs, ys)
+        return ve.state[-1] - truth[-1], ve.gain
+
+    keys = jax.random.split(jax.random.PRNGKey(3), n_mc)
+    errs, gains = jax.vmap(one)(keys)
+    emp = jnp.einsum("si,sj->ij", errs, errs) / n_mc
+    res = schmidt.consider_analysis(
+        jnp.broadcast_to(f, (t, 2, 2)), jnp.broadcast_to(h, (t, 1, 2)),
+        gains[0], q, r, consider_cov=jnp.array([[bias_sigma**2]]),
+        hc=jnp.array([[1.0]]), p0=p0)
+    pred = np.asarray(res.covariance[-1])
+    emp = np.asarray(emp)
+    # Each entry within MC error; Frobenius within ~7%.
+    assert np.linalg.norm(emp - pred) < 0.07 * np.linalg.norm(pred), (emp, pred)
+    # and the formal covariance UNDERSTATES the truth materially
+    assert pred[0, 0] > 1.5 * float(res.formal_covariance[-1, 0, 0])

@@ -75,7 +75,8 @@ class Estimate(NamedTuple):
 
     @property
     def state(self) -> jax.Array:
-        return jnp.einsum("...ij,...j->...i", self.covariance, self.info_state)
+        return linalg.highp(jnp.einsum)(
+            "...ij,...j->...i", self.covariance, self.info_state)
 
     @property
     def innovation(self) -> jax.Array:

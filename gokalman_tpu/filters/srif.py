@@ -78,13 +78,11 @@ class Estimate(NamedTuple):
     @property
     def covariance(self) -> jax.Array:
         """P = R^{-1} R^{-T} (srif.go:252-265)."""
-        rinv = linalg.inv_qr(self.r)
-        return rinv @ jnp.swapaxes(rinv, -1, -2)
+        return linalg.factor_product(linalg.inv_qr(self.r))
 
     @property
     def pred_covariance(self) -> jax.Array:
-        rinv = linalg.inv_qr(self.pred_r)
-        return rinv @ jnp.swapaxes(rinv, -1, -2)
+        return linalg.factor_product(linalg.inv_qr(self.pred_r))
 
     def within_nsigma(self, n_sigma) -> jax.Array:
         return linalg.is_within_nsigma(self.state, self.covariance, n_sigma)

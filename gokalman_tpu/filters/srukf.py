@@ -53,13 +53,11 @@ class Estimate(NamedTuple):
 
     @property
     def covariance(self) -> jax.Array:
-        s = self.sqrt_covariance
-        return s @ jnp.swapaxes(s, -1, -2)
+        return linalg.factor_product(self.sqrt_covariance)
 
     @property
     def pred_covariance(self) -> jax.Array:
-        s = self.sqrt_pred_covariance
-        return s @ jnp.swapaxes(s, -1, -2)
+        return linalg.factor_product(self.sqrt_pred_covariance)
 
     def within_nsigma(self, n_sigma) -> jax.Array:
         return linalg.is_within_nsigma(self.state, self.covariance, n_sigma)

@@ -35,6 +35,19 @@ def highp(fn):
     return wrapper
 
 
+@highp
+def factor_product(s) -> jax.Array:
+    """S Sᵀ at f32 matmul precision.
+
+    Factor-carrying estimates (sqrt/srukf/srif/udu) reconstruct P from
+    their factors lazily in properties; those products must NOT run at
+    the TPU's default bf16 matmul precision or the reconstructed
+    covariance (and anything downstream, e.g. NEES) silently loses ~3
+    digits — the filter recursion itself is already under `highp`.
+    """
+    return s @ jnp.swapaxes(s, -1, -2)
+
+
 def identity(n: int, dtype=None) -> jax.Array:
     """Identity matrix (reference: helper.go:44)."""
     return jnp.eye(n, dtype=dtype)

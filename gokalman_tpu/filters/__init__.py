@@ -3,8 +3,10 @@
 from . import (
     adaptive,
     batch,
+    constrained,
     enkf,
     gsf,
+    hinf,
     hybrid,
     imm,
     information,
@@ -15,6 +17,7 @@ from . import (
     sqrt,
     srif,
     srukf,
+    udu,
     ukf,
     vanilla,
 )
@@ -22,5 +25,5 @@ from . import (
 __all__ = [
     "vanilla", "information", "sqrt", "srif", "hybrid", "batch", "ukf",
     "srukf", "adaptive", "smoothing", "enkf", "particle", "imm", "rbpf",
-    "gsf", "schmidt",
+    "gsf", "schmidt", "udu", "hinf", "constrained",
 ]

@@ -25,3 +25,15 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Persistent on-disk compilation cache (repo-local, gitignored).  Two
+# reasons: (a) warm reruns of the suite skip XLA:CPU codegen entirely,
+# roughly halving wall time; (b) this box's XLA:CPU has segfaulted
+# inside LLVM codegen (backend_compile_and_load) after ~25 min of
+# accumulated compilation in one pytest process — different test each
+# time, always late in the suite; cache hits bypass that code path, so
+# a warm cache also makes the full single-process run reliable.
+_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

@@ -270,6 +270,31 @@ def main(steps=8640):
     r8 = run_one("srif_f32_snc_j3truth", srif_snc_fn, s3, tail=True,
                  pos_gate=1.5e-1, vel_gate=1.5e-4, dtype="float32")
 
+    # Consider OD (round-3 capability; TSB §6.6): stations carry REAL
+    # range biases (10/-15/5 m) the filter deliberately does not
+    # estimate — it carries their 20 m a-priori covariance instead
+    # (gain zero-masked on the bias block).  Honesty gate: the final
+    # full-state NEES against the co-propagated truth must stay
+    # chi-square-plausible (the naive filter's blows up by >5x on this
+    # setup; tests/test_od_consider.py pins the comparison).
+    bias_true = jnp.array([1e-2, -1.5e-2, 5e-3])
+    cons_fn = jax.jit(lambda: od.run_consider_od(
+        x0_small, s["p0"], noise, s["ms"], s["dt"],
+        bias_sigmas=jnp.full(3, 2e-2),
+        stations_list=s["sts"], degree=2, t0=s["t0"],
+        truth0=s["x0_ref"], true_biases=bias_true,
+    )).lower().compile()
+    r9 = run_one("consider_od_biased", cons_fn, s, tail=True,
+                 pos_gate=1e-1, vel_gate=1e-4)
+    res9 = cons_fn()
+    err9 = np.asarray(res9.est_states[-1] - res9.truth[-1])
+    nees9 = float(err9 @ np.linalg.solve(np.asarray(res9.covariances[-1]),
+                                         err9))
+    r9["final_nees"] = nees9
+    r9["gates_pass"] = bool(r9["gates_pass"] and nees9 < 30.0)
+    print(json.dumps({"metric": "consider_od_final_nees", "value": nees9,
+                      "unit": "nees_n6", "gates_pass": nees9 < 30.0}))
+
     # Derivative-free tier at native f32: ensemble OD (96 members, no
     # STM/Jacobians) from the perturbed start.
     enkf_noise32 = gn.awgn(1e-12 * jnp.eye(6, dtype=jnp.float32),
@@ -283,8 +308,8 @@ def main(steps=8640):
     r7 = run_one("enkf_od_f32", enkf_fn, s, tail=True,
                  pos_gate=3e-1, vel_gate=5e-4, dtype="float32")
 
-    assert all(r["gates_pass"] for r in (r1, r2, r3, r4, r5, r6, r7, r8)), \
-        "accuracy gates failed"
+    assert all(r["gates_pass"] for r in (r1, r2, r3, r4, r5, r6, r7, r8,
+                                         r9)), "accuracy gates failed"
 
 
 if __name__ == "__main__":

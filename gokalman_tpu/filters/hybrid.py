@@ -108,8 +108,16 @@ def update(
     computed_obs,
     gamma=None,
     ekf=False,
+    gain_mask=None,
 ):
-    """Full time + measurement update (reference: hybrid.go:104-204)."""
+    """Full time + measurement update (reference: hybrid.go:104-204).
+
+    `gain_mask` ([n] 0/1) zeroes gain rows before the (gain-generic)
+    Joseph update — the Schmidt-consider constraint on an augmented
+    deviation state (see filters/schmidt.py and od.run_consider_od):
+    masked components' means never move while the joint covariance
+    tracks the constrained estimator exactly.
+    """
     phi = jnp.asarray(phi)
     htilde = jnp.asarray(htilde)
     p_bar = _p_bar(model, state, phi, gamma)
@@ -117,6 +125,8 @@ def update(
     pht = p_bar @ htilde.T
     s = htilde @ pht + model.noise.r
     k_gain = linalg.solve_psd(s, pht.T).T
+    if gain_mask is not None:
+        k_gain = k_gain * jnp.asarray(gain_mask, k_gain.dtype)[:, None]
 
     y = jnp.asarray(real_obs) - jnp.asarray(computed_obs)
 
@@ -200,6 +210,7 @@ def step(
     gamma=None,
     snc=None,
     ekf=False,
+    gain_mask=None,
 ):
     """Masked predict-or-update step for scan-with-cond OD harnesses.
 
@@ -209,7 +220,8 @@ def step(
     g = None
     if gamma is not None:
         g = gamma if snc is None else jnp.where(snc, gamma, jnp.zeros_like(gamma))
-    st_u, est_u = update(model, state, phi, htilde, real_obs, computed_obs, g, ekf)
+    st_u, est_u = update(model, state, phi, htilde, real_obs, computed_obs, g,
+                         ekf, gain_mask)
     st_p, est_p = predict(model, state, phi, g, ekf)
     pick = lambda a, b: jnp.where(has_meas, a, b)
     return jax.tree.map(pick, st_u, st_p), jax.tree.map(pick, est_u, est_p)

@@ -239,6 +239,13 @@ def consider_analysis(
     against a Monte Carlo over bias draws it matches the naive filter's
     empirical error covariance.
 
+    Sign convention: `cross_covariance` is S = Cov(e, c) with
+    e = x̂ − x and c the parameter itself.  The Schmidt FILTER carries
+    Cov(x̂−x, ĉ−c) = −S (its ĉ is pinned at the prior mean, so its
+    c-error is −c); fed the Schmidt filter's own gains this recursion
+    reproduces its Pxx exactly and its Pxc up to that sign
+    (tests/test_od_consider.py pins both).
+
     `phis`/`hs`/`gains` are [T, n, n]/[T, p, n]/[T, n, p] stacks from a
     filter trace (e.g. `Estimate.gain` + the model matrices, or an OD
     run's `ests.phi`/`ests.htilde`/`ests.gain`); `q`/`r` may be single

@@ -334,6 +334,142 @@ def run_hybrid_od(
 
 
 @linalg.highp
+def run_consider_od(
+    x0_ref,
+    p0,
+    noise,
+    meas: MeasurementSet,
+    dt: float,
+    bias_sigmas,
+    theta0: float = 0.0,
+    stations_list=(),
+    degree: int = 2,
+    method: str = "rk4",
+    substeps: int = 1,
+    snc_mask=None,
+    snc_ric: bool = False,
+    t0: float = 0.0,
+    truth0=None,
+    true_biases=None,
+    range_row: int = 0,
+) -> ODResult:
+    """Schmidt-consider orbit determination: the ONLINE counterpart of
+    `consider_bias_analysis` (TSB §6.6; Schmidt 1966).
+
+    Runs the CKF-mode hybrid OD loop on an augmented deviation state
+    [δx(6); δb(n_st)] where δb are per-station range biases with
+    a-priori sigmas `bias_sigmas` [n_st] (km) that are deliberately
+    NOT estimated: the gain's bias rows are zero-masked
+    (hybrid.update(gain_mask=...); Joseph is gain-generic so the
+    constrained update is exact).  The reported position/velocity
+    covariance is then the TRUE error covariance of a filter flying
+    through biased stations — where the plain `run_hybrid_od` goes
+    overconfident (NEES blows up over bias draws; pinned in
+    tests/test_od_consider.py).
+
+    Biases are constant considers (Φ_aug = blkdiag(Φ, I)); they enter
+    the measurement as Hc = e_{range_row} ⊗ onehot(station) on
+    measurement steps.  SNC (`snc_mask`/`snc_ric`) acts on the
+    position/velocity block exactly as in run_hybrid_od.
+
+    `truth0` enables self-consistent in-scan measurement generation
+    (see run_hybrid_od); `true_biases` [n_st] (km), only meaningful
+    with truth0, adds the actual station biases to the generated range
+    observations — the Monte-Carlo-over-bias-draws harness.
+
+    Reference anchor: the reference estimates full states only
+    (srif_test.go); its problem domain (ground-station OD,
+    hybrid_test.go:79-117) is exactly where consider filtering is
+    standard practice.
+    """
+    x0_ref = jnp.asarray(x0_ref)
+    dtype = x0_ref.dtype
+    steps = meas.obs.shape[0]
+    bias_sigmas = jnp.asarray(bias_sigmas, dtype)
+    n_st = bias_sigmas.shape[0]
+    naug = 6 + n_st
+    use_snc = snc_mask is not None
+    self_consistent = truth0 is not None
+    if true_biases is not None and not self_consistent:
+        raise ValueError("true_biases requires truth0 (self-consistent "
+                         "measurement generation)")
+    if use_snc and noise.q.shape != (3, 3):
+        raise ValueError("SNC requires noise.q to be the 3x3 acceleration PSD")
+
+    eom = functools.partial(gravity.eom, degree=degree)
+    phi_flow = integrators.flow(eom, dt, method, substeps)
+    gamma = None
+    if use_snc:
+        gamma = jnp.concatenate(
+            [snc_gamma(dt, dtype), jnp.zeros((n_st, 3), dtype)], axis=0)
+
+    p0_aug = jax.scipy.linalg.block_diag(
+        jnp.asarray(p0, dtype), jnp.diag(bias_sigmas**2))
+    model, hstate0 = hybrid.new(jnp.zeros(naug, dtype), p0_aug, noise, 2)
+    gain_mask = (jnp.arange(naug) < 6).astype(dtype)
+    eye_b = jnp.eye(n_st, dtype=dtype)
+    times = t0 + dt * jnp.arange(1, steps + 1, dtype=dtype)
+    tb = (jnp.zeros(n_st, dtype) if true_biases is None
+          else jnp.asarray(true_biases, dtype))
+
+    def body(carry, xs):
+        if self_consistent:
+            x_truth, x_ref, hstate = carry
+        else:
+            x_ref, hstate = carry
+        real_obs, idx, has, snc, t = xs
+        g = gamma if snc is not None else None
+        if g is not None and snc_ric:
+            g = gamma @ ric_dcm(x_ref).T
+        theta = theta0 + c.EARTH_ROTATION_RATE * t
+        if self_consistent:
+            pair = jnp.stack([x_truth, x_ref])
+            pair_new, stms = jax.vmap(
+                lambda x: integrators.x_and_jac(phi_flow, x))(pair)
+            x_truth, x_ref = pair_new[0], pair_new[1]
+            stm = stms[1]
+            obs_pair, ht_pair = jax.vmap(
+                lambda x: _computed_obs(stations_list, x, theta, idx, has))(
+                    pair_new)
+            safe = jnp.maximum(idx, 0)
+            bias_vec = jnp.zeros(obs_pair.shape[-1], dtype).at[range_row].set(
+                jnp.where(has, tb[safe], 0.0))
+            real_obs = obs_pair[0] + bias_vec
+            comp_obs, htilde = obs_pair[1], ht_pair[1]
+        else:
+            x_ref, stm = integrators.x_and_jac(phi_flow, x_ref)
+            comp_obs, htilde = _computed_obs(stations_list, x_ref, theta,
+                                             idx, has)
+        safe = jnp.maximum(idx, 0)
+        onehot = (jnp.arange(n_st) == safe).astype(dtype) * has.astype(dtype)
+        hc = jnp.zeros((htilde.shape[0], n_st), dtype).at[range_row].set(onehot)
+        h_aug = jnp.concatenate([htilde, hc], axis=1)
+        stm_aug = jax.scipy.linalg.block_diag(stm, eye_b)
+        hstate, est = hybrid.step(
+            model, hstate, stm_aug, h_aug, real_obs, comp_obs, has,
+            gamma=g, snc=snc, gain_mask=gain_mask,
+        )
+        full = x_ref + hstate.x[:6]
+        out = (full, hstate.x[:6], est.covariance[:6, :6], est.innovation,
+               x_ref, est)
+        if self_consistent:
+            return (x_truth, x_ref, hstate), out + (x_truth,)
+        return (x_ref, hstate), out
+
+    snc_xs = snc_mask if use_snc else None
+    xs = (meas.obs, meas.station_idx, meas.has_meas, snc_xs, times)
+    if self_consistent:
+        carry0 = (jnp.asarray(truth0, dtype), x0_ref, hstate0)
+        _, (full, dev, cov, innov, refs, ests, truths) = jax.lax.scan(
+            body, carry0, xs)
+        return ODResult(full, dev, cov, innov, refs, meas.has_meas, ests,
+                        None, truths)
+    _, (full, dev, cov, innov, refs, ests) = jax.lax.scan(
+        body, (x0_ref, hstate0), xs)
+    return ODResult(full, dev, cov, innov, refs, meas.has_meas, ests)
+
+
+@linalg.highp
 def run_srif_od(
     x0_ref,
     p0,

@@ -20,6 +20,12 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Quiet XLA:CPU's cpu_aot_loader LOG(ERROR) spam when persistent-cache
+# entries are loaded (it flags the synthetic prefer-no-scatter/-gather
+# "features" as a machine mismatch; the load succeeds — verified by the
+# warm-run speedup — and real failures still surface as Python
+# exceptions).
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 
 import jax  # noqa: E402
 

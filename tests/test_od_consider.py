@@ -127,3 +127,96 @@ def test_zero_sigmas_no_inflation_material_sigmas_inflate():
     pos_formal = float(jnp.trace(ana.formal_covariance[-1][:3, :3]))
     # 10 m unestimated range biases must matter on a km-grade solution
     assert pos_true > 1.2 * pos_formal, (pos_true, pos_formal)
+
+
+def test_consider_od_zero_sigmas_equals_hybrid():
+    """bias_sigmas = 0 collapses run_consider_od to run_hybrid_od
+    (augmented blocks carry exact zeros)."""
+    s = _scenario()
+    res_h = _run()
+    res_c = od.run_consider_od(
+        s["x0_ref"], s["p0"], gn.noiseless(jnp.zeros((3, 3)), s["r"]),
+        s["ms"], s["dt"], bias_sigmas=jnp.zeros(3),
+        stations_list=s["sts"], degree=2, t0=s["t0"])
+    a, b = np.asarray(res_c.est_states), np.asarray(res_h.est_states)
+    assert np.abs(a - b).max() < 1e-9 * np.abs(b).max()
+    # Covariances: the extra zero blocks are exact, but the 9-dim
+    # program reassociates the same 6-dim sums differently; over a
+    # 3000-step recursion with R=1e-6 against P~1e2 that reassociation
+    # noise reaches ~5e-5 relative (measured 4.5e-5) — the same
+    # program-structure sensitivity documented for the emulated-x64
+    # chip path in CLAUDE.md.
+    a, b = np.asarray(res_c.covariances), np.asarray(res_h.covariances)
+    assert np.abs(a - b).max() < 1e-3 * np.abs(b).max()
+
+
+def test_consider_od_reproduced_by_analysis_recursion():
+    """EXACTNESS: schmidt.consider_analysis fed the consider run's own
+    x-block gain/STM/Jacobian trace reproduces the consider filter's
+    Pxx AND Pxc to roundoff — the online filter and the post-design
+    recursion are the same mathematics."""
+    from gokalman_tpu.filters import schmidt
+
+    s = _scenario()
+    sig = jnp.array([1e-2, 2e-2, 5e-3])
+    res = od.run_consider_od(
+        s["x0_ref"], s["p0"], gn.noiseless(jnp.zeros((3, 3)), s["r"]),
+        s["ms"], s["dt"], bias_sigmas=sig,
+        stations_list=s["sts"], degree=2, t0=s["t0"])
+    ests = res.estimates
+    phis = np.asarray(ests.phi)[:, :6, :6]
+    hs = np.asarray(ests.htilde)[:, :, :6]
+    hc = np.asarray(ests.htilde)[:, :, 6:]
+    gains = np.asarray(ests.gain)[:, :6, :]
+    full_cov = np.asarray(ests.covariance)  # [T, 9, 9]
+    pxx = full_cov[:, :6, :6]
+    pxc = full_cov[:, :6, 6:]
+    p0 = np.asarray(s["p0"])
+    prev = np.concatenate([p0[None], pxx[:-1]], axis=0)
+    pred_xx = np.asarray(ests.pred_covariance)[:, :6, :6]
+    q_eff = pred_xx - np.einsum("tij,tjk,tlk->til", phis, prev, phis)
+    ana = schmidt.consider_analysis(
+        phis, hs, gains, jnp.asarray(q_eff), s["r"],
+        consider_cov=jnp.diag(sig**2), hc=jnp.asarray(hc), p0=s["p0"])
+    # Pxx: exact up to q_eff-recovery cancellation noise (P̄ − ΦPΦᵀ
+    # cancels ~16 digits of an 850-scale matrix per step; measured
+    # 1.1e-5 relative over the 3000-step arc).
+    scale = np.abs(pxx).max()
+    assert np.abs(np.asarray(ana.covariance) - pxx).max() < 2e-4 * scale
+    # Pxc: EXACT with the sign convention made explicit — the filter
+    # carries Cov(x̂−x, ĉ−c) = −Cov(e, c) (ĉ is pinned, so e_c = −c);
+    # measured agreement 1.7e-18 relative.
+    cscale = np.abs(pxc).max()
+    assert cscale > 0  # the coupling is real on this arc
+    assert np.abs(np.asarray(ana.cross_covariance) + pxc).max() < 1e-12 * cscale
+
+
+def test_consider_od_calibrated_where_naive_overconfident():
+    """Monte Carlo over station-bias draws (self-consistent arcs with
+    true_biases injected): the naive filter (sigmas=0 through the same
+    code path) reports wildly overconfident position NEES; the consider
+    filter stays chi-square-calibrated."""
+    s = _scenario()
+    sigma_b = 2e-2  # 20 m range biases
+    draws = 12
+    bs = sigma_b * jax.random.normal(jax.random.PRNGKey(9), (draws, 3))
+    nz = gn.noiseless(jnp.zeros((3, 3)), s["r"])
+    truth0 = s["x0_ref"]  # truth-start: errors come from biases only
+
+    def final_nees(bias_true, sigmas):
+        res = od.run_consider_od(
+            s["x0_ref"], s["p0"], nz, s["ms"], s["dt"], bias_sigmas=sigmas,
+            stations_list=s["sts"], degree=2, t0=s["t0"],
+            truth0=truth0, true_biases=bias_true)
+        err = res.est_states[-1] - res.truth[-1]
+        from gokalman_tpu import linalg as gl
+        return err @ gl.solve_psd(res.covariances[-1], err)
+
+    nees_naive = jax.vmap(lambda b: final_nees(b, jnp.zeros(3)))(bs)
+    nees_cons = jax.vmap(
+        lambda b: final_nees(b, jnp.full(3, sigma_b)))(bs)
+    m_naive = float(jnp.mean(nees_naive))
+    m_cons = float(jnp.mean(nees_cons))
+    # n = 6; mean over 12 draws of chi2_6-ish -> gate generously
+    assert m_naive > 5 * m_cons, (m_naive, m_cons)
+    assert m_cons < 15.0, m_cons

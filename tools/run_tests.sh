@@ -1,0 +1,17 @@
+#!/bin/bash
+# Full suite in three chunks (separate processes).
+#
+# Why: XLA:CPU on this box (jaxlib 0.9, single core) segfaults while
+# materializing executables after ~250 tests' worth of compilation in
+# ONE process — the crash appears in backend_compile_and_load on cold
+# runs and in the persistent-cache read path on warm runs, at varying
+# tests near the end of the alphabet (test_shard_particle /
+# test_smoothing / test_sqrt all observed).  Every affected test passes
+# in isolation; the suite passes when split so each process stays well
+# under the threshold.  See tests/conftest.py for the persistent
+# compilation cache that also makes warm chunks fast.
+set -e
+cd "$(dirname "$0")/.."
+python -m pytest tests/test_[a-e]*.py -q "$@"
+python -m pytest tests/test_[f-r]*.py -q "$@"
+python -m pytest tests/test_[s-z]*.py -q "$@"

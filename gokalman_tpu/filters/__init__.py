@@ -11,6 +11,7 @@ from . import (
     imm,
     information,
     particle,
+    pdaf,
     rbpf,
     schmidt,
     smoothing,
@@ -25,5 +26,5 @@ from . import (
 __all__ = [
     "vanilla", "information", "sqrt", "srif", "hybrid", "batch", "ukf",
     "srukf", "adaptive", "smoothing", "enkf", "particle", "imm", "rbpf",
-    "gsf", "schmidt", "udu", "hinf", "constrained",
+    "gsf", "schmidt", "udu", "hinf", "constrained", "pdaf",
 ]

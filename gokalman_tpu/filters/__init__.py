@@ -10,6 +10,7 @@ from . import (
     hybrid,
     imm,
     information,
+    mhe,
     particle,
     pdaf,
     rbpf,
@@ -26,5 +27,5 @@ from . import (
 __all__ = [
     "vanilla", "information", "sqrt", "srif", "hybrid", "batch", "ukf",
     "srukf", "adaptive", "smoothing", "enkf", "particle", "imm", "rbpf",
-    "gsf", "schmidt", "udu", "hinf", "constrained", "pdaf",
+    "gsf", "schmidt", "udu", "hinf", "constrained", "pdaf", "mhe",
 ]

@@ -11,6 +11,9 @@
 # under the threshold.  See tests/conftest.py for the persistent
 # compilation cache that also makes warm chunks fast.
 set -e
+# sitecustomize loads jaxlib before tests/conftest.py runs, so the
+# AOT-loader log-spam suppression must be in the environment already.
+export TF_CPP_MIN_LOG_LEVEL=${TF_CPP_MIN_LOG_LEVEL:-3}
 cd "$(dirname "$0")/.."
 python -m pytest tests/test_[a-e]*.py -q "$@"
 python -m pytest tests/test_[f-r]*.py -q "$@"

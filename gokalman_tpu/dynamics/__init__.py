@@ -4,12 +4,15 @@ two-body + J2/J3 gravity, fixed-step RK integrators with STM via
 jax.jacfwd of the flow (replacing smd's hand-propagated variational
 equations), orbital-element <-> RV conversions, ground stations with
 range/range-rate measurements and elevation-mask visibility, and Earth
-rotation.  Everything is jittable and vmappable.
+rotation.  Everything is jittable and vmappable.  `attitude` adds the
+second application domain: quaternion kinematics + gyro error models
+for the MEKF tier (filters/mekf.py).
 """
 
-from . import constants, elements, gravity, integrators, propagate, stations
+from . import attitude, constants, elements, gravity, integrators, propagate, stations
 
 __all__ = [
+    "attitude",
     "constants",
     "elements",
     "gravity",

@@ -9,16 +9,20 @@ from . import (
     hinf,
     hybrid,
     imm,
+    mekf,
     information,
+    jpda,
     mhe,
     particle,
     pdaf,
+    quadrature,
     rbpf,
     schmidt,
     smoothing,
     sqrt,
     srif,
     srukf,
+    studentt,
     udu,
     ukf,
     vanilla,
@@ -28,4 +32,5 @@ __all__ = [
     "vanilla", "information", "sqrt", "srif", "hybrid", "batch", "ukf",
     "srukf", "adaptive", "smoothing", "enkf", "particle", "imm", "rbpf",
     "gsf", "schmidt", "udu", "hinf", "constrained", "pdaf", "mhe",
+    "studentt", "quadrature", "mekf", "jpda",
 ]

@@ -106,3 +106,117 @@ def run(model: vanilla.Model, state: State, cfg, measurements, controls=None):
         return step(model, carry, cfg, meas, u)
 
     return jax.lax.scan(body, state, (measurements, controls))
+
+
+# ---------------------------------------------------------------------------
+# Variational-Bayes adaptive R (Särkkä & Nummenmaa 2009)
+# ---------------------------------------------------------------------------
+
+
+class VBState(NamedTuple):
+    kf: vanilla.State
+    ig_a: jax.Array  # [p] inverse-gamma shape per measurement channel
+    ig_b: jax.Array  # [p] inverse-gamma scale (mean variance = b/(a-1))
+
+
+class VBEstimate(NamedTuple):
+    base: vanilla.Estimate
+    r_hat: jax.Array  # [p] posterior-mean measurement variances b/a
+
+
+def vb_new(x0, p0, f, g, h, noise: Noise, rho: float = 0.98,
+           prior_strength: float = 3.0, n_iter: int = 3):
+    """Variational-Bayes adaptive-R CKF (Särkkä & Nummenmaa, IEEE TAC
+    2009): measurement-noise variances are UNKNOWN states with
+    inverse-gamma posteriors IG(a_i, b_i) per channel (diagonal R),
+    updated jointly with the Gaussian state by fixed-point coordinate
+    ascent each step.  Where `new(mode="r")` covariance-matches a
+    windowed innovation average (a point estimate with ad-hoc PSD
+    flooring), this carries a full conjugate posterior: uncertainty in
+    R widens the effective innovation covariance early on and
+    contracts as evidence accumulates.
+
+    `noise.r`'s diagonal seeds the prior mean; `prior_strength` is the
+    prior's pseudo-observation count (a_0); `rho` is the variance-
+    dynamics forgetting factor (a,b decay each predict, so the filter
+    can track drifting R — rho=1 freezes learning-only behavior);
+    `n_iter` fixed VB sweeps keep the step jittable (3 suffices; the
+    iteration is a contraction, Särkkä §IV).
+
+    Returns (model, state, cfg); thread cfg into vb_step/vb_run.
+    """
+    model, kf_state = vanilla.new(x0, p0, f, g, h, noise)
+    p = model.h.shape[0]
+    a0 = jnp.full((p,), float(prior_strength), kf_state.x.dtype)
+    b0 = a0 * jnp.diag(jnp.asarray(noise.r))
+    if not 0.0 < rho <= 1.0:
+        raise ValueError(f"rho must be in (0, 1] (got {rho})")
+    return model, VBState(kf_state, a0, b0), (float(rho), int(n_iter))
+
+
+@linalg.highp
+def vb_step(model: vanilla.Model, state: VBState, cfg, measurement,
+            control=None, has=None):
+    """One VB-AKF step: predict, decay the IG posterior (variance
+    dynamics), then alternate (state update given R̂) and (IG update
+    given posterior residuals) for n_iter sweeps.
+
+    `has` masks the step: when False both the KF update and the IG
+    update are skipped (a missing measurement carries no information
+    about R either) — the IG decay still applies.
+    """
+    rho, n_iter = cfg
+    x_pred, p_pred = vanilla.predict(model, state.kf, control)
+    h = model.h
+    y_hat = h @ state.kf.x
+
+    # Heuristic variance dynamics (Särkkä eq. 22): spread the IG
+    # posterior, keeping its mean b/(a-1) unchanged-ish.
+    a_pred = rho * state.ig_a
+    b_pred = rho * state.ig_b
+
+    a_post = a_pred + 0.5  # fixed across sweeps (one datum per channel)
+    b_post = b_pred
+    x, p = x_pred, p_pred
+    k_gain = jnp.zeros((x_pred.shape[0], h.shape[0]), x_pred.dtype)
+    innovation = measurement - h @ x_pred
+    for _ in range(n_iter):
+        r_hat = jnp.diag(b_post / a_post)
+        pht = p_pred @ h.T
+        s = h @ pht + r_hat
+        k_gain = linalg.solve_psd(s, pht.T).T
+        x = x_pred + k_gain @ innovation
+        p = vanilla.joseph_update(p_pred, k_gain, h, r_hat)
+        resid = measurement - h @ x
+        b_post = b_pred + 0.5 * (resid**2 + jnp.diagonal(h @ p @ h.T))
+
+    if has is not None:
+        x = jnp.where(has, x, x_pred)
+        p = jnp.where(has, p, p_pred)
+        k_gain = jnp.where(has, k_gain, jnp.zeros_like(k_gain))
+        innovation = jnp.where(has, innovation, jnp.zeros_like(innovation))
+        a_post = jnp.where(has, a_post, a_pred)
+        b_post = jnp.where(has, b_post, b_pred)
+
+    est = vanilla.Estimate(
+        state=x,
+        measurement=y_hat,
+        innovation=innovation,
+        covariance=p,
+        pred_covariance=p_pred,
+        gain=k_gain,
+    )
+    new_state = VBState(vanilla.State(x, p, state.kf.k + 1), a_post, b_post)
+    return new_state, VBEstimate(est, b_post / a_post)
+
+
+@linalg.highp
+def vb_run(model: vanilla.Model, state: VBState, cfg, measurements,
+           controls=None, meas_masks=None):
+    """lax.scan driver for the VB adaptive filter."""
+
+    def body(carry, xs):
+        meas, u, m = xs
+        return vb_step(model, carry, cfg, meas, u, m)
+
+    return jax.lax.scan(body, state, (measurements, controls, meas_masks))

@@ -217,3 +217,88 @@ def fixed_point_smoother(f, h, r, means, covs, innovations, pred_covs, k0: int):
     xs = (jnp.arange(t), f, h, r, means, covs, innovations, pred_covs)
     _, (x_fp, p_fp) = jax.lax.scan(body, init, xs)
     return x_fp, p_fp
+
+
+@linalg.highp
+def two_filter_smoother(phis, q, hs, rs, measurements, means, covs,
+                        meas_masks=None, offsets=None):
+    """Two-filter (Fraser-Potter / Mayne) fixed-interval smoother: the
+    fourth classical smoother form, complementing rts_smoother (gain
+    form), fixed_lag_smoother and fixed_point_smoother.  A BACKWARD
+    INFORMATION filter accumulates the likelihood of the FUTURE
+    measurements p(y_{k+1:T-1} | x_k) as an information pair (Λ_k, λ_k)
+    — information form because that likelihood starts flat (Λ = 0 is
+    representable where a covariance filter would need P = ∞) — and the
+    smoothed posterior is the product with the forward filtered moments:
+
+        backward dynamics (x_{k+1} = Φ_{k+1} x_k + b_{k+1} + w):
+            B       = I + Λ_{k+1|k+1} Q
+            Λ_k     = Φᵀ B⁻¹ Λ_{k+1|k+1} Φ
+            λ_k     = Φᵀ B⁻¹ (λ_{k+1|k+1} − Λ_{k+1|k+1} b_{k+1})
+        measurement include:  Λ_{k|k} = Λ_k + HᵀR⁻¹H,
+                              λ_{k|k} = λ_k + HᵀR⁻¹ y_k
+        combine (A = I + P_f Λ_k):
+            x_s = A⁻¹ (x_f + P_f λ_k),   P_s = A⁻¹ P_f
+
+    Why use it over RTS: the backward pass depends only on the model
+    and data (not on the forward pass), so the two passes can run
+    CONCURRENTLY on different devices and meet in the combine; and the
+    combine at each k is independent — a map, not a scan.  Numerically
+    it also avoids the RTS subtraction P_k − C(P_pred − P_next)Cᵀ.
+
+    Inputs match rts_smoother (`phis[k]` maps k-1 -> k, `offsets[k]` =
+    b_k, both entry 0 unused) plus the measurement model: `hs`/`rs`
+    single [p,n]/[p,p] or stacked [T,...] schedules, `measurements`
+    [T,p], `meas_masks` [T] bool marking steps whose measurement
+    exists.  `means`/`covs` are the forward FILTERED moments
+    (vanilla.run's Estimate.state/.covariance).  Returns (x_s, p_s);
+    equals rts_smoother to roundoff (pinned in tests).
+    """
+    t, n = means.shape
+    q = jnp.asarray(q)
+    hs = jnp.asarray(hs)
+    hs = jnp.broadcast_to(hs, (t,) + hs.shape[-2:])
+    rs = jnp.asarray(rs)
+    rs = jnp.broadcast_to(rs, (t,) + rs.shape[-2:])
+    if meas_masks is None:
+        meas_masks = jnp.ones((t,), bool)
+    if offsets is None:
+        offsets = jnp.zeros_like(means)
+    else:
+        offsets = jnp.asarray(offsets)
+    phi_next = jnp.roll(phis, -1, axis=0)
+    b_next = jnp.roll(offsets, -1, axis=0)
+    eye = jnp.eye(n, dtype=means.dtype)
+
+    def backward(carry, xs):
+        lam_mat, lam_vec = carry  # Λ_{k+1|k+1}, λ_{k+1|k+1}
+        phi_n, b_n, h_k, r_k, y_k, m_k, is_last = xs
+        binv_lam = linalg.solve_qr(eye + lam_mat @ q, lam_mat)
+        lam_fut = linalg.sym(phi_n.T @ binv_lam @ phi_n)
+        lam_vec_fut = phi_n.T @ linalg.solve_qr(
+            eye + lam_mat @ q, lam_vec - lam_mat @ b_n)
+        lam_fut = jnp.where(is_last, jnp.zeros_like(lam_fut), lam_fut)
+        lam_vec_fut = jnp.where(is_last, jnp.zeros_like(lam_vec_fut),
+                                lam_vec_fut)
+        # include this step's measurement for the NEXT (earlier) k
+        rinv_h = linalg.solve_psd(r_k, h_k)
+        m = m_k.astype(means.dtype)
+        lam_inc = linalg.sym(lam_fut + m * h_k.T @ rinv_h)
+        lam_vec_inc = lam_vec_fut + m * rinv_h.T @ y_k
+        return (lam_inc, lam_vec_inc), (lam_fut, lam_vec_fut)
+
+    is_last = jnp.arange(t) == (t - 1)
+    init = (jnp.zeros((n, n), means.dtype), jnp.zeros(n, means.dtype))
+    _, (lam_futs, lam_vec_futs) = jax.lax.scan(
+        backward, init,
+        (phi_next, b_next, hs, rs, measurements, meas_masks, is_last),
+        reverse=True,
+    )
+
+    def combine(x_f, p_f, lam, lam_v):
+        a = eye + p_f @ lam
+        x_s = linalg.solve_qr(a, x_f + p_f @ lam_v)
+        p_s = linalg.sym(linalg.solve_qr(a, p_f))
+        return x_s, p_s
+
+    return jax.vmap(combine)(means, covs, lam_futs, lam_vec_futs)

@@ -66,3 +66,75 @@ def test_adaptation_beats_misspecified_filter():
     nis_fixed = mean_nis(ve, vmodel)
     nis_adapt = mean_nis(ae.base, amodel, ae.r_hat)
     assert abs(nis_adapt - 1.0) < abs(nis_fixed - 1.0), (nis_adapt, nis_fixed)
+
+
+# -------------------- VB adaptive R (Särkkä-Nummenmaa) --------------------
+
+
+def test_vb_r_converges_from_wrong_prior():
+    """Prior mean R is 10x too small with weak strength; the IG
+    posterior mean must land near the true variance."""
+    r_true = 0.5
+    f, h, q_base, ys = _simulate(1.0, r_true, steps=1500)
+    nz = gn.noiseless(q_base, jnp.array([[r_true / 10.0]]))
+    model, state, cfg = adaptive.vb_new(
+        jnp.zeros(2), jnp.eye(2), f, None, h, nz,
+        rho=0.99, prior_strength=3.0)
+    _, ests = adaptive.vb_run(model, state, cfg, ys)
+    r_tail = float(jnp.mean(ests.r_hat[-300:, 0]))
+    assert 0.35 < r_tail < 0.7, r_tail
+
+
+def test_vb_tracks_r_jump():
+    """Measurement variance jumps 9x mid-run; the forgetting factor
+    lets the posterior re-converge to the new level."""
+    r_lo, r_hi = 0.2, 1.8
+    f, h, q_base, ys_lo = _simulate(1.0, r_lo, steps=700, seed=2)
+    _, _, _, ys_hi = _simulate(1.0, r_hi, steps=700, seed=3)
+    ys = jnp.concatenate([ys_lo, ys_hi])
+    nz = gn.noiseless(q_base, jnp.array([[r_lo]]))
+    model, state, cfg = adaptive.vb_new(
+        jnp.zeros(2), jnp.eye(2), f, None, h, nz,
+        rho=0.97, prior_strength=5.0)
+    _, ests = adaptive.vb_run(model, state, cfg, ys)
+    before = float(jnp.mean(ests.r_hat[500:700, 0]))
+    after = float(jnp.mean(ests.r_hat[-200:, 0]))
+    assert before < 2.0 * r_lo, before
+    assert 0.5 * r_hi < after < 1.6 * r_hi, after
+
+
+def test_vb_strong_prior_is_plain_kf():
+    """An overwhelming prior pinned at the true R with rho=1 makes the
+    VB filter numerically indistinguishable from the fixed-R CKF."""
+    r_true = 0.4
+    f, h, q_base, ys = _simulate(1.0, r_true, steps=120, seed=4)
+    nz = gn.noiseless(q_base, jnp.array([[r_true]]))
+    vm, vs = vanilla.new(jnp.zeros(2), jnp.eye(2), f, None, h, nz)
+    _, ev = vanilla.run(vm, vs, measurements=ys)
+    model, state, cfg = adaptive.vb_new(
+        jnp.zeros(2), jnp.eye(2), f, None, h, nz,
+        rho=1.0, prior_strength=1e9)
+    _, evb = adaptive.vb_run(model, state, cfg, ys)
+    np.testing.assert_allclose(np.asarray(evb.base.state),
+                               np.asarray(ev.state), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(evb.base.covariance),
+                               np.asarray(ev.covariance), atol=1e-5)
+
+
+def test_vb_masked_step_freezes_posterior():
+    f, h, q_base, ys = _simulate(1.0, 0.5, steps=10, seed=5)
+    nz = gn.noiseless(q_base, jnp.array([[0.5]]))
+    model, state, cfg = adaptive.vb_new(
+        jnp.zeros(2), jnp.eye(2), f, None, h, nz, rho=0.95)
+    st, est = adaptive.vb_step(model, state, cfg, ys[0],
+                               has=jnp.bool_(False))
+    # IG decayed but not data-updated; state == pure prediction.
+    np.testing.assert_allclose(np.asarray(st.ig_a),
+                               0.95 * np.asarray(state.ig_a), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(st.ig_b),
+                               0.95 * np.asarray(state.ig_b), atol=1e-12)
+    x_pred, p_pred = vanilla.predict(model, state.kf)
+    np.testing.assert_allclose(np.asarray(st.kf.x), np.asarray(x_pred),
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(st.kf.p), np.asarray(p_pred),
+                               atol=1e-12)

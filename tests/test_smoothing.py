@@ -319,3 +319,90 @@ def test_fixed_point_smoother_converges_to_rts():
                                    rtol=1e-8, atol=1e-11)
         np.testing.assert_allclose(np.asarray(p_fp[k]), np.asarray(pr_k[k0]),
                                    rtol=1e-7, atol=1e-11)
+
+
+def test_two_filter_smoother_equals_rts():
+    """Fraser-Potter two-filter smoother == RTS on a full run (LTI,
+    every-step measurements), built from a real vanilla.run trace."""
+    rng = np.random.default_rng(95)
+    n, p, t = 3, 2, 60
+    f = jnp.asarray(np.eye(n) + 0.05 * rng.standard_normal((n, n)))
+    h = jnp.asarray(rng.standard_normal((p, n)))
+    q = jnp.asarray(random_spd(rng, n, 0.05))
+    r = jnp.asarray(random_spd(rng, p, 0.3))
+    x0 = jnp.asarray(rng.standard_normal(n))
+    p0 = jnp.asarray(random_spd(rng, n, 1.0))
+    model, state0 = vanilla.new(x0, p0, f, None, h, gn.noiseless(q, r))
+    ys = jnp.asarray(rng.standard_normal((t, p)))
+    _, est = vanilla.run(model, state0, ys)
+    phis = jnp.broadcast_to(f, (t, n, n))
+    sm_r, sc_r = smoothing.rts_smoother(phis, q, est.state, est.covariance)
+    sm_2, sc_2 = smoothing.two_filter_smoother(
+        phis, q, h, r, ys, est.state, est.covariance)
+    np.testing.assert_allclose(np.asarray(sm_2), np.asarray(sm_r),
+                               rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(sc_2), np.asarray(sc_r),
+                               rtol=1e-6, atol=1e-9)
+
+
+def test_two_filter_smoother_masks_offsets_time_varying():
+    """Masked (missing) measurements + control offsets + a time-varying
+    H schedule: still == RTS built from the same masked filter trace."""
+    rng = np.random.default_rng(96)
+    n, p, t = 2, 1, 50
+    dt = 0.1
+    f = jnp.array([[1.0, dt], [0.0, 1.0]])
+    g = jnp.array([[0.5 * dt * dt], [dt]])
+    q = jnp.array([[dt**3 / 3, dt**2 / 2], [dt**2 / 2, dt]]) * 0.05
+    r = jnp.array([[0.4]])
+    hs = jnp.asarray(np.where(
+        (np.arange(t) % 2 == 0)[:, None, None],
+        np.array([[1.0, 0.0]]), np.array([[0.5, 0.5]])))
+    masks = jnp.asarray(np.arange(t) % 3 != 1)
+    us = jnp.asarray(0.2 * rng.standard_normal((t, 1)))
+    ys = jnp.asarray(rng.standard_normal((t, 1)))
+    x0, p0 = jnp.zeros(n), jnp.eye(n)
+    model, state0 = vanilla.new(x0, p0, f, g, jnp.array([[1.0, 0.0]]),
+                                gn.noiseless(q, r))
+    # forward filtered trace with per-step H and measurement masks
+    st = state0
+    xs_f, ps_f = [], []
+    for k in range(t):
+        st, e = vanilla.step(model, st, ys[k], us[k], h=hs[k],
+                             meas_mask=jnp.asarray([bool(masks[k])]))
+        xs_f.append(e.state)
+        ps_f.append(e.covariance)
+    means = jnp.stack(xs_f)
+    covs = jnp.stack(ps_f)
+    phis = jnp.broadcast_to(f, (t, n, n))
+    offsets = (g @ us.T).T
+    sm_r, sc_r = smoothing.rts_smoother(phis, q, means, covs,
+                                        offsets=offsets)
+    sm_2, sc_2 = smoothing.two_filter_smoother(
+        phis, q, hs, r, ys, means, covs, meas_masks=masks,
+        offsets=offsets)
+    np.testing.assert_allclose(np.asarray(sm_2), np.asarray(sm_r),
+                               rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(sc_2), np.asarray(sc_r),
+                               rtol=1e-6, atol=1e-9)
+
+
+def test_two_filter_last_entry_is_filtered():
+    """At k = T-1 there are no future measurements: smoothed == filtered."""
+    rng = np.random.default_rng(97)
+    n, p, t = 2, 1, 20
+    f = jnp.asarray(np.eye(n) + 0.05 * rng.standard_normal((n, n)))
+    h = jnp.asarray(rng.standard_normal((p, n)))
+    q = jnp.asarray(random_spd(rng, n, 0.05))
+    r = jnp.asarray(random_spd(rng, p, 0.3))
+    model, state0 = vanilla.new(jnp.zeros(n), jnp.eye(n), f, None, h,
+                                gn.noiseless(q, r))
+    ys = jnp.asarray(rng.standard_normal((t, p)))
+    _, est = vanilla.run(model, state0, ys)
+    phis = jnp.broadcast_to(f, (t, n, n))
+    sm, sc = smoothing.two_filter_smoother(phis, q, h, r, ys, est.state,
+                                           est.covariance)
+    np.testing.assert_allclose(np.asarray(sm[-1]),
+                               np.asarray(est.state[-1]), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(sc[-1]),
+                               np.asarray(est.covariance[-1]), atol=1e-10)

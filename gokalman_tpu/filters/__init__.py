@@ -23,6 +23,7 @@ from . import (
     srif,
     srukf,
     studentt,
+    tracker,
     udu,
     ukf,
     vanilla,
@@ -32,5 +33,5 @@ __all__ = [
     "vanilla", "information", "sqrt", "srif", "hybrid", "batch", "ukf",
     "srukf", "adaptive", "smoothing", "enkf", "particle", "imm", "rbpf",
     "gsf", "schmidt", "udu", "hinf", "constrained", "pdaf", "mhe",
-    "studentt", "quadrature", "mekf", "jpda",
+    "studentt", "quadrature", "mekf", "jpda", "tracker",
 ]

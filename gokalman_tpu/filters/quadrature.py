@@ -172,3 +172,40 @@ def run(model: Model, state: State, measurements, fx: Callable, hx: Callable,
         return step(model, carry, meas, fx, hx, u, m)
 
     return jax.lax.scan(body, state, (measurements, controls, meas_masks))
+
+
+@linalg.highp
+def rts_smoother(model: Model, means, covs, fx: Callable, controls=None):
+    """Quadrature-rule Rauch-Tung-Striebel smoother: ukf.rts_smoother's
+    backward pass (Särkkä 2008) with the model's deterministic rule
+    supplying the predicted/cross statistics — degree-(2·order−1)
+    moment accuracy in the smoother too.  `controls[k+1]` drives the
+    k -> k+1 transition, matching the filter's inputs."""
+
+    def body(carry, xs):
+        x_next, p_next = carry
+        x_k, p_k, u_next, is_last = xs
+        pts = transform_points(x_k, p_k, model.rule)
+        prop = jax.vmap(
+            (lambda s: fx(s, u_next)) if u_next is not None else fx
+        )(pts)
+        x_pred, p_pred, pdev = expectation(prop, model.rule, model.noise.q)
+        xdev = pts - x_k[None, :]
+        cross = jnp.einsum("i,ij,ik->jk", model.rule.weights, xdev, pdev)
+        g = linalg.solve_psd(p_pred, cross.T).T
+        x_sm = x_k + g @ (x_next - x_pred)
+        p_sm = linalg.sym(p_k + g @ (p_next - p_pred) @ g.T)
+        x_out = jnp.where(is_last, x_k, x_sm)
+        p_out = jnp.where(is_last, p_k, p_sm)
+        return (x_out, p_out), (x_out, p_out)
+
+    t = means.shape[0]
+    is_last = jnp.arange(t) == (t - 1)
+    u_next = None
+    if controls is not None:
+        u_next = jnp.concatenate([controls[1:], controls[-1:]], axis=0)
+    (_, _), (xs_sm, ps_sm) = jax.lax.scan(
+        body, (means[-1], covs[-1]), (means, covs, u_next, is_last),
+        reverse=True,
+    )
+    return xs_sm, ps_sm

@@ -455,3 +455,79 @@ def run(
     xs = (measurements, controls, ws, ws2, vs, keys, hs, rs, meas_masks)
     final, ests = jax.lax.scan(body, state, xs, length=steps)
     return final, ests
+
+
+@linalg.highp
+def oosm_update(model: Model, state: State, est_k: Estimate, y_tau,
+                f2, q2, h_tau=None, r_tau=None):
+    """EXACT out-of-sequence measurement update (Bar-Shalom 2002, the
+    one-step-lag "Bl1" algorithm): a measurement y_τ taken at a time
+    τ ∈ (t_{k-1}, t_k] arrives AFTER the filter has already processed
+    the step at t_k — late radar returns, network delays, multi-sensor
+    skew.  Rather than rolling the filter back and replaying (which
+    requires buffering every input), the posterior at t_k is corrected
+    in place, exactly.
+
+    `est_k` is the Estimate the filter emitted at t_k (the current
+    step); `f2`/`q2` are the transition Φ(t_k, τ) and its accumulated
+    process noise Q(t_k, τ) over [τ, t_k]; `h_tau`/`r_tau` default to
+    the model's H/R.  The step at t_k must have been a measurement
+    update with the model's H/R (that step's innovation/gain are what
+    make the exact retrodiction possible).
+
+    Derivation (all by joint-Gaussian conditioning; w = process noise
+    over [τ, t_k], ν_k/S_k/K_k the step-k innovation quantities):
+
+        ŵ|k    = Q Hᵀ S_k⁻¹ ν_k            Cov(w, ν_k) = Q Hᵀ
+        P_w|k  = Q − Q Hᵀ S_k⁻¹ H Q
+        P_xw|k = (I − K_k H) Q
+        x̂_τ|k  = F⁻¹ (x̂_k|k − ŵ|k)         retrodiction
+        P_τ|k  = F⁻¹ (P_k|k + P_w|k − P_xw|k − P_xw|kᵀ) F⁻ᵀ
+        P_kτ|k = (P_k|k − P_xw|k) F⁻ᵀ       cross-covariance
+        ν_τ = y_τ − H_τ x̂_τ|k,  S_τ = H_τ P_τ|k H_τᵀ + R_τ
+        x̂_k|k,τ = x̂_k|k + P_kτ|k H_τᵀ S_τ⁻¹ ν_τ
+        P_k|k,τ = P_k|k − (P_kτ|k H_τᵀ) S_τ⁻¹ (P_kτ|k H_τᵀ)ᵀ
+
+    Exactness is pinned in tests against re-running the filter with the
+    measurements in correct time order (split-step reference).
+
+    Returns (state, estimate) with the corrected posterior at t_k; the
+    estimate's measurement/innovation fields describe the OOSM.
+    """
+    h_k, r_k = model.h, model.noise.r
+    h_tau = h_k if h_tau is None else jnp.asarray(h_tau)
+    r_tau = r_k if r_tau is None else jnp.asarray(r_tau)
+    f2 = jnp.asarray(f2)
+    q2 = jnp.asarray(q2)
+
+    s_k = h_k @ est_k.pred_covariance @ h_k.T + r_k
+    qht = q2 @ h_k.T
+    w_hat = qht @ linalg.solve_psd(s_k, est_k.innovation)
+    p_w = linalg.sym(q2 - qht @ linalg.solve_psd(s_k, qht.T))
+    n = q2.shape[0]
+    p_xw = (jnp.eye(n, dtype=q2.dtype) - est_k.gain @ h_k) @ q2
+
+    # Retrodict through Φ(t_k, τ)⁻¹ (QR-based general solve: TPU x64
+    # has no LU).
+    x_tau = linalg.solve_qr(f2, est_k.state - w_hat)
+    p_mid = est_k.covariance + p_w - p_xw - p_xw.T
+    f2_inv = linalg.inv_qr(f2)
+    p_tau = linalg.sym(f2_inv @ p_mid @ f2_inv.T)
+    p_cross = (est_k.covariance - p_xw) @ f2_inv.T  # Cov(x_k, x_τ | Z_k)
+
+    nu_tau = jnp.asarray(y_tau) - h_tau @ x_tau
+    s_tau = linalg.sym(h_tau @ p_tau @ h_tau.T + r_tau)
+    gain_arm = p_cross @ h_tau.T  # [n, p]
+    k_tau = linalg.solve_psd(s_tau, gain_arm.T).T
+    x_new = est_k.state + k_tau @ nu_tau
+    p_new = linalg.sym(est_k.covariance - k_tau @ s_tau @ k_tau.T)
+
+    est = Estimate(
+        state=x_new,
+        measurement=h_tau @ x_tau,
+        innovation=nu_tau,
+        covariance=p_new,
+        pred_covariance=est_k.covariance,  # pre-OOSM posterior
+        gain=k_tau,
+    )
+    return State(x_new, p_new, state.k), est

@@ -145,3 +145,62 @@ def test_masked_step_is_time_update():
                                atol=1e-12)
     np.testing.assert_allclose(np.asarray(st.p), np.asarray(p_pred),
                                atol=1e-10)
+
+
+def test_rts_smoother_linear_equals_kf_rts():
+    """Quadrature RTS == linear RTS exactly on affine dynamics."""
+    from gokalman_tpu.filters import smoothing
+
+    f, g, dt = robot1d_matrices()
+    h = jnp.array([[1.0, 0.0]])
+    q = jnp.array([[dt**3 / 3, dt**2 / 2], [dt**2 / 2, dt]]) * 0.02
+    r = jnp.array([[0.5]])
+    nz = gn.noiseless(q, r)
+    x0, p0 = jnp.zeros(2), jnp.diag(jnp.array([4.0, 1.0]))
+    qm, qs = quadrature.new(x0, p0, nz, order=3)
+
+    def fx(x):
+        return f @ x
+
+    def hx(x):
+        return h @ x
+
+    T = 40
+    meas = jax.random.normal(jax.random.PRNGKey(2), (T, 1))
+    _, eq = quadrature.run(qm, qs, meas, fx, hx)
+    xs_q, ps_q = quadrature.rts_smoother(qm, eq.state, eq.covariance, fx)
+    phis = jnp.broadcast_to(f, (T, 2, 2))
+    xs_l, ps_l = smoothing.rts_smoother(phis, q, eq.state, eq.covariance)
+    np.testing.assert_allclose(np.asarray(xs_q), np.asarray(xs_l),
+                               atol=1e-8)
+    np.testing.assert_allclose(np.asarray(ps_q), np.asarray(ps_l),
+                               atol=1e-8)
+
+
+def test_rts_smoother_beats_filter_nonlinear():
+    """On a nonlinear arc the GH smoother's RMS beats the GH filter's."""
+    rng = np.random.default_rng(11)
+    T = 200
+    q = jnp.array([[0.01]])
+    r = jnp.array([[0.3]])
+    nz = gn.noiseless(q, r)
+
+    def fx(x):
+        return 0.9 * x + 0.2 * jnp.sin(x)
+
+    def hx(x):
+        return x
+
+    xs = np.zeros((T, 1))
+    x = np.array([1.0])
+    for k in range(T):
+        x = 0.9 * x + 0.2 * np.sin(x) + 0.1 * rng.standard_normal(1)
+        xs[k] = x
+    ys = jnp.asarray(xs + np.sqrt(0.3) * rng.standard_normal((T, 1)))
+    qm, qs_ = quadrature.new(jnp.array([1.0]), jnp.array([[1.0]]), nz,
+                             order=5)
+    _, est = quadrature.run(qm, qs_, ys, fx, hx)
+    xs_sm, _ = quadrature.rts_smoother(qm, est.state, est.covariance, fx)
+    rms_f = float(np.sqrt(((np.asarray(est.state) - xs) ** 2).mean()))
+    rms_s = float(np.sqrt(((np.asarray(xs_sm) - xs) ** 2).mean()))
+    assert rms_s < rms_f, (rms_s, rms_f)

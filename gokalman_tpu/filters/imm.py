@@ -46,6 +46,9 @@ class Estimate(NamedTuple):
     mode_probs: jax.Array  # [M]
     innovation: jax.Array  # [M, p] per-mode innovations
     log_likelihood: jax.Array  # [] log p(y_k | y_{1:k-1}) under the IMM
+    # Per-mode filtered moments — what the IMM smoother consumes.
+    mode_states: jax.Array = None  # [M, n]
+    mode_covariances: jax.Array = None  # [M, n, n]
 
     def within_nsigma(self, n_sigma) -> jax.Array:
         return linalg.is_within_nsigma(self.state, self.covariance, n_sigma)
@@ -194,6 +197,8 @@ def step(model: Model, state: State, measurement, control=None, has=None):
         mode_probs=mu,
         innovation=innov,
         log_likelihood=log_norm,
+        mode_states=xs_new,
+        mode_covariances=ps_new,
     )
     return State(xs_new, ps_new, mu, state.k + 1), est
 
@@ -267,6 +272,8 @@ def step_ukf(model: UKFModel, state: State, measurement, fx, hx,
         mode_probs=mu,
         innovation=ests.innovation,
         log_likelihood=log_norm,
+        mode_states=sts.x,
+        mode_covariances=sts.p,
     )
     return State(sts.x, sts.p, mu, state.k + 1), est
 
@@ -281,3 +288,76 @@ def run_ukf(model: UKFModel, state: State, measurements, fx, hx,
         return step_ukf(model, carry, meas, fx, hx, u, has)
 
     return jax.lax.scan(body, state, (measurements, controls, meas_masks))
+
+
+@linalg.highp
+def rts_smoother(model: Model, ests: Estimate):
+    """Fixed-interval IMM smoother (Kim 1994, the mode-matched RTS
+    form): given an `imm.run` trace, runs M² per-mode-pair RTS backward
+    recursions, collapses each origin mode over the destination modes
+    with the (approximate) backward mode weights, and smooths the mode
+    probabilities through the Markov chain:
+
+        per pair (i -> j):  x̂ᵢⱼ = x̂ᵢ|k + Cᵢⱼ (x̂ⱼ|T − Fⱼ x̂ᵢ|k)
+        collapse over j with  W(j|i) ∝ trans[i,j] μⱼ|T
+        mode smoothing:      μᵢ|T = Σⱼ μⱼ|T · trans[i,j] μᵢ|k / (μ|k trans)ⱼ
+
+    Exact only when the mode sequence is degenerate (M=1 or identical
+    modes, == RTS pinned in tests); otherwise the standard Gaussian-
+    collapse approximation every IMM variant makes.  Returns
+    (x_smoothed [T, n], p_smoothed [T, n, n], mu_smoothed [T, M]).
+    """
+    xs_f = ests.mode_states  # [T, M, n]
+    ps_f = ests.mode_covariances  # [T, M, n, n]
+    mus_f = ests.mode_probs  # [T, M]
+    t, m, n = xs_f.shape
+    eps = jnp.asarray(1e-30, xs_f.dtype)
+
+    def backward(carry, xs):
+        x_next, p_next, mu_next = carry  # smoothed at k+1, per mode [M,...]
+        x_f, p_f, mu_f, is_last = xs  # filtered at k
+
+        def pair(i_x, i_p):
+            # smooth mode i against every destination mode j
+            def against(model_j, x_sj, p_sj):
+                x_pred = model_j.f @ i_x
+                p_pred = model_j.f @ i_p @ model_j.f.T + model_j.noise.q
+                c = linalg.solve_psd(p_pred, model_j.f @ i_p.T).T
+                x_s = i_x + c @ (x_sj - x_pred)
+                p_s = linalg.sym(i_p + c @ (p_sj - p_pred) @ c.T)
+                return x_s, p_s
+
+            return jax.vmap(against)(model.modes, x_next, p_next)
+
+        x_ij, p_ij = jax.vmap(pair)(x_f, p_f)  # [M_i, M_j, ...]
+
+        # Kim's joint factorization: P(m_k=i, m_{k+1}=j | Z_T) ≈
+        # μⱼ|T · u[i,j] with u[i,j] = P(m_k=i | m_{k+1}=j, Z_k)
+        # = trans[i,j] μᵢ|k / c_j (the forward mixing posterior).
+        c_j = mu_f @ model.trans  # [M]
+        u = model.trans * mu_f[:, None] / jnp.maximum(c_j[None, :], eps)
+        joint = u * mu_next[None, :]  # [i, j]
+        mu_s = joint.sum(axis=1)  # smoothed mode probs
+        mu_s = mu_s / jnp.maximum(mu_s.sum(), eps)
+        # collapse weights W(j|i) = joint / μᵢ|T
+        w = joint / jnp.maximum(joint.sum(axis=1, keepdims=True), eps)
+        x_si = jnp.einsum("ij,ijn->in", w, x_ij)
+        dev = x_ij - x_si[:, None, :]
+        p_si = jnp.einsum("ij,ijnk->ink", w, p_ij) + jnp.einsum(
+            "ij,ijn,ijk->ink", w, dev, dev)
+
+        x_out = jnp.where(is_last, x_f, x_si)
+        p_out = jnp.where(is_last, p_f, p_si)
+        mu_out = jnp.where(is_last, mu_f, mu_s)
+        return (x_out, p_out, mu_out), (x_out, p_out, mu_out)
+
+    is_last = jnp.arange(t) == (t - 1)
+    init = (xs_f[-1], ps_f[-1], mus_f[-1])
+    _, (xs_s, ps_s, mus_s) = jax.lax.scan(
+        backward, init, (xs_f, ps_f, mus_f, is_last), reverse=True)
+
+    def combine(x_s, p_s, mu_s):
+        return _moment_match(x_s, p_s, mu_s)
+
+    x_c, p_c = jax.vmap(combine)(xs_s, ps_s, mus_s)
+    return x_c, p_c, mus_s

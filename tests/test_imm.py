@@ -241,3 +241,80 @@ def test_imm_ukf_cubature_matches_linear_imm_on_linear_system():
     np.testing.assert_allclose(eu.mode_probs, el.mode_probs, atol=1e-9)
     np.testing.assert_allclose(eu.log_likelihood, el.log_likelihood,
                                atol=1e-9)
+
+
+def test_imm_smoother_identical_modes_equals_rts():
+    """With identical modes the Kim smoother collapses exactly to the
+    single-model RTS smoother."""
+    from gokalman_tpu.filters import smoothing
+
+    model = _cv_model(0.01)
+    x0 = jnp.array([0.1, -0.3])
+    p0 = 2.0 * jnp.eye(2)
+    rng = np.random.default_rng(10)
+    T = 40
+    ys = jnp.asarray(rng.standard_normal((T, 1)))
+    im, ist = imm.new(x0, p0, [model, model],
+                      trans=jnp.array([[0.9, 0.1], [0.1, 0.9]]))
+    _, est = imm.run(im, ist, ys)
+    x_s, p_s, mu_s = imm.rts_smoother(im, est)
+
+    _, st = vanilla.new(x0, p0, model.f, None, model.h, model.noise)
+    _, kf_est = vanilla.run(model, st, measurements=ys)
+    phis = jnp.broadcast_to(model.f, (T, 2, 2))
+    x_r, p_r = smoothing.rts_smoother(phis, model.noise.q, kf_est.state,
+                                      kf_est.covariance)
+    np.testing.assert_allclose(np.asarray(x_s), np.asarray(x_r), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(p_s), np.asarray(p_r), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(mu_s), 0.5, atol=1e-8)
+
+
+def test_imm_smoother_beats_filter_on_switching_truth():
+    """Markov-switching truth (quiet Q for k<30 and k>=50, agile Q
+    between): the Kim smoother must beat the IMM filter on BOTH state
+    RMS and mode-classification accuracy, averaged over seeds.
+    Measured: RMS 0.211 vs 0.226, accuracy 0.912 vs 0.817.
+
+    NOTE (measured while building): a DETERMINISTIC maneuver (velocity
+    sinusoid) is a hostile scenario for any smoother — the quiet mode's
+    near-zero Q back-extrapolates the maneuver-fitted trajectory
+    through the onset with full trust, poisoning the pre-onset segment.
+    Smoothers amplify model error; the test truth must be
+    model-consistent."""
+    quiet = _cv_model(1e-3)
+    agile = _cv_model(1.0)
+    lq_q = np.linalg.cholesky(np.asarray(quiet.noise.q)
+                              + 1e-15 * np.eye(2))
+    lq_a = np.linalg.cholesky(np.asarray(agile.noise.q))
+    fn = np.asarray(quiet.f)
+    rms_f, rms_s, acc_f, acc_s = [], [], [], []
+    for seed in range(6):
+        rng = np.random.default_rng(seed)
+        T = 80
+        x = np.array([0.0, 0.4])
+        xs, modes = [], []
+        for k in range(T):
+            agile_now = 30 <= k < 50
+            L = lq_a if agile_now else lq_q
+            x = fn @ x + L @ rng.standard_normal(2)
+            xs.append(x.copy())
+            modes.append(agile_now)
+        truth = np.stack(xs)
+        ys = jnp.asarray(truth[:, :1] + 0.3 * rng.standard_normal((T, 1)))
+        trans = jnp.array([[0.97, 0.03], [0.03, 0.97]])
+        im, ist = imm.new(jnp.array([0.0, 0.4]), jnp.eye(2),
+                          [quiet, agile], trans)
+        _, est = imm.run(im, ist, ys)
+        x_s, p_s, mu_s = imm.rts_smoother(im, est)
+        ef = np.asarray(est.state) - truth
+        es = np.asarray(x_s) - truth
+        rms_f.append(np.sqrt((ef[:, 0] ** 2).mean()))
+        rms_s.append(np.sqrt((es[:, 0] ** 2).mean()))
+        acc_f.append(((np.asarray(est.mode_probs)[:, 1] > 0.5)
+                      == np.array(modes)).mean())
+        acc_s.append(((np.asarray(mu_s)[:, 1] > 0.5)
+                      == np.array(modes)).mean())
+    assert np.mean(rms_s) < np.mean(rms_f), (np.mean(rms_s),
+                                             np.mean(rms_f))
+    assert np.mean(acc_s) > np.mean(acc_f) + 0.05, (np.mean(acc_s),
+                                                    np.mean(acc_f))

@@ -213,3 +213,87 @@ def test_etkf_masked_step_does_not_inflate():
                          has=jnp.array(False))
     np.testing.assert_allclose(est_s.pred_covariance, f @ p0 @ f.T,
                                atol=1e-10)
+
+
+def test_enks_lag0_is_filter():
+    """lag=0 EnKS == the stochastic EnKF trace bit-for-bit (same keys)."""
+    import numpy as _np
+
+    f, h, q, r, x0, p0 = _system()
+    fx, hx = enkf.linear_fns(f, h)
+    nz = gk.noise.awgn(q, r)
+    state = enkf.new(x0, p0, 64, key=jax.random.PRNGKey(1))
+    ys = jnp.asarray(_np.random.default_rng(0).standard_normal((30, 1)))
+    key = jax.random.PRNGKey(7)
+    _, est = enkf.run(nz, state, ys, fx, hx, key=key)
+    _, xs_s, ps_s = enkf.run_enks(nz, state, ys, fx, hx, lag=0, key=key)
+    _np.testing.assert_allclose(_np.asarray(xs_s), _np.asarray(est.state),
+                                atol=1e-12)
+    _np.testing.assert_allclose(_np.asarray(ps_s),
+                                _np.asarray(est.covariance), atol=1e-12)
+
+
+def test_enks_matches_fixed_lag_kf_smoother():
+    """Linear-Gaussian, N=8192 members: the lag-L EnKS moments must
+    land on the exact fixed-lag KF smoother (O(1/sqrt N) away), and
+    clearly beat the filter on mid-arc RMS-to-exact-smoother."""
+    import numpy as _np
+
+    from gokalman_tpu.filters import smoothing, vanilla
+
+    f, h, q, r, x0, p0 = _system()
+    fx, hx = enkf.linear_fns(f, h)
+    nz = gk.noise.awgn(q, r)
+    T, lag = 40, 5
+    ys = jnp.asarray(_np.random.default_rng(3).standard_normal((T, 1)))
+
+    vm, vs = vanilla.new(x0, p0, f, None, h, gk.noise.noiseless(q, r))
+    _, kf_est = vanilla.run(vm, vs, ys)
+    phis = jnp.broadcast_to(f, (T, 2, 2))
+    x_fl, p_fl = smoothing.fixed_lag_smoother(phis, q, kf_est.state,
+                                              kf_est.covariance, lag)
+
+    state = enkf.new(x0, p0, 8192, key=jax.random.PRNGKey(2))
+    _, xs_s, ps_s = enkf.run_enks(nz, state, ys, fx, hx, lag=lag,
+                                  key=jax.random.PRNGKey(9))
+    err_s = _np.abs(_np.asarray(xs_s) - _np.asarray(x_fl)).mean()
+    err_f = _np.abs(_np.asarray(kf_est.state) - _np.asarray(x_fl)).mean()
+    # ensemble smoother lands on the exact smoother, far inside the
+    # filter-to-smoother gap
+    assert err_s < 0.25 * err_f, (err_s, err_f)
+    # covariances agree too
+    perr = _np.abs(_np.asarray(ps_s) - _np.asarray(p_fl)).mean()
+    assert perr < 0.05, perr
+
+
+def test_enks_masked_steps_shift_only():
+    """A masked frame must not touch any lagged ensemble (pure shift +
+    forecast)."""
+    import numpy as _np
+
+    f, h, q, r, x0, p0 = _system()
+    fx, hx = enkf.linear_fns(f, h)
+    nz = gk.noise.awgn(q, r)
+    T, lag = 12, 3
+    ys = jnp.zeros((T, 1))
+    masks = jnp.zeros((T,), bool)  # nothing ever assimilated
+    state = enkf.new(x0, p0, 32, key=jax.random.PRNGKey(4))
+    key = jax.random.PRNGKey(5)
+    _, xs_s, _ = enkf.run_enks(nz, state, ys, fx, hx, lag=lag, key=key,
+                               meas_masks=masks)
+    # pure forecasts: smoothed mean at j == filter forecast mean at j
+    _, est = enkf.run(nz, state, ys, fx, hx, key=key, meas_masks=masks)
+    _np.testing.assert_allclose(_np.asarray(xs_s), _np.asarray(est.state),
+                                atol=1e-10)
+
+
+def test_enks_lag_validation():
+    import pytest as _pytest
+
+    f, h, q, r, x0, p0 = _system()
+    fx, hx = enkf.linear_fns(f, h)
+    nz = gk.noise.awgn(q, r)
+    state = enkf.new(x0, p0, 16, key=jax.random.PRNGKey(0))
+    with _pytest.raises(ValueError):
+        enkf.run_enks(nz, state, jnp.zeros((5, 1)), fx, hx, lag=5,
+                      key=jax.random.PRNGKey(1))

@@ -225,3 +225,80 @@ def cubature_params() -> Params:
     or pass to Params directly — every UKF entry point then *is* the
     cubature Kalman filter."""
     return Params(alpha=1.0, beta=0.0, kappa=0.0)
+
+
+@linalg.highp
+def step_augmented(model: Model, state: State, measurement, fx: Callable,
+                   hx: Callable, control=None, has=None):
+    """One AUGMENTED-state UKF step for NON-ADDITIVE noise (Wan & van
+    der Merwe §7.3 / Särkkä alg. 5.14): sigma points are drawn over the
+    joint [x; w; v] with block-diagonal covariance diag(P, Q, R), and
+    the noises ride THROUGH the nonlinear maps —
+
+        X_i' = fx(X_i, W_i[, u]),     Z_i = hx(X_i', V_i)
+
+    — so multiplicative, state-scaled, or otherwise embedded noise is
+    handled to sigma-point accuracy, where the standard additive-form
+    `step` simply adds Q and R to the transformed covariances.  On
+    linear additive models it equals the exact KF (pinned).
+
+    Signatures: fx(x, w[, u]) and hx(x, v).  The noise dimensions are
+    taken from model.noise.q/r.  2(n+nw+p)+1 sigma points.
+    """
+    n = state.x.shape[0]
+    nw = model.noise.q.shape[0]
+    p_dim = model.noise.r.shape[0]
+    na = n + nw + p_dim
+    dt = state.x.dtype
+    _, wm, wc = _weights(na, model.params, dt)
+
+    x_aug = jnp.concatenate([state.x, jnp.zeros(nw, dt), jnp.zeros(p_dim, dt)])
+    p_aug = jax.scipy.linalg.block_diag(state.p, model.noise.q,
+                                        model.noise.r)
+    pts = sigma_points(x_aug, p_aug, model.params)  # [2na+1, na]
+    xs_pts, ws_pts, vs_pts = (pts[:, :n], pts[:, n:n + nw],
+                              pts[:, n + nw:])
+
+    prop = jax.vmap(
+        (lambda s, w: fx(s, w, control)) if control is not None
+        else fx)(xs_pts, ws_pts)
+    x_pred = wm @ prop
+    xdev = prop - x_pred[None, :]
+    p_pred = linalg.sym(jnp.einsum("i,ij,ik->jk", wc, xdev, xdev))
+
+    zpts = jax.vmap(hx)(prop, vs_pts)
+    y_hat = wm @ zpts
+    zdev = zpts - y_hat[None, :]
+    s_cov = linalg.sym(jnp.einsum("i,ij,ik->jk", wc, zdev, zdev))
+    cross = jnp.einsum("i,ij,ik->jk", wc, xdev, zdev)
+    k_gain = linalg.solve_psd(s_cov, cross.T).T
+
+    innovation = measurement - y_hat
+    if has is not None:
+        k_gain = jnp.where(has, k_gain, jnp.zeros_like(k_gain))
+        innovation = jnp.where(has, innovation, jnp.zeros_like(innovation))
+        y_hat = jnp.where(has, y_hat, jnp.zeros_like(y_hat))
+    x = x_pred + k_gain @ innovation
+    p = linalg.sym(p_pred - k_gain @ s_cov @ k_gain.T)
+    est = Estimate(
+        state=x,
+        measurement=y_hat,
+        innovation=innovation,
+        covariance=p,
+        pred_covariance=p_pred,
+        gain=k_gain,
+        innovation_covariance=s_cov,
+    )
+    return State(x, p, state.k + 1), est
+
+
+@linalg.highp
+def run_augmented(model: Model, state: State, measurements, fx: Callable,
+                  hx: Callable, controls=None, meas_masks=None):
+    """lax.scan driver for the augmented (non-additive noise) UKF."""
+
+    def body(carry, xs):
+        meas, u, has = xs
+        return step_augmented(model, carry, meas, fx, hx, u, has)
+
+    return jax.lax.scan(body, state, (measurements, controls, meas_masks))

@@ -531,3 +531,113 @@ def oosm_update(model: Model, state: State, est_k: Estimate, y_tau,
         gain=k_tau,
     )
     return State(x_new, p_new, state.k), est
+
+
+@linalg.highp
+def fading_step(model: Model, state: State, measurement, control=None,
+                alpha: float = 1.0, h=None, r=None, meas_mask=None):
+    """Fading-memory CKF step (Simon, Optimal State Estimation §5.5):
+    the predicted covariance is inflated by α² ≥ 1,
+
+        P⁻ = α² F P Fᵀ + Q
+
+    which exponentially discounts old data (effective memory
+    ~1/(α²−1) steps) — the classical defense against slow unmodeled
+    drift/model bias, predating H∞ (hinf) and covariance-matching
+    (adaptive): where those estimate or bound the mismatch, this just
+    refuses to let the gain converge.  α=1 IS the vanilla CKF (pinned).
+    """
+    x_pred, p_pred = predict(model, state, control)
+    p_pred = linalg.sym(alpha**2 * (p_pred - model.noise.q) + model.noise.q)
+    inter = State(x_pred, p_pred, state.k)
+    # reuse the measurement-update half of step() by zeroing dynamics
+    n = state.x.shape[0]
+    ident_model = model._replace(f=jnp.eye(n, dtype=state.p.dtype), g=None,
+                                 noise=model.noise._replace(
+                                     q=jnp.zeros((n, n), state.p.dtype)))
+    return step(ident_model, inter, measurement, h=h, r=r,
+                meas_mask=meas_mask)
+
+
+@linalg.highp
+def run_fading(model: Model, state: State, measurements, controls=None,
+               alpha: float = 1.0, hs=None, rs=None, meas_masks=None):
+    """lax.scan driver for the fading-memory filter."""
+
+    def body(carry, xs):
+        meas, u, h_k, r_k, mask = xs
+        return fading_step(model, carry, meas, u, alpha, h_k, r_k, mask)
+
+    return jax.lax.scan(body, state,
+                        (measurements, controls, hs, rs, meas_masks))
+
+
+@linalg.highp
+def correlated_step(model: Model, state: State, measurement, m_cross,
+                    control=None):
+    """CKF step with CORRELATED process/measurement noise (Simon OSE
+    §7.1): E[w v'ᵀ] = M between the process noise w driving THIS
+    prediction and the measurement noise v' of the measurement being
+    assimilated.  The optimal gain picks up the cross term:
+
+        S = H P⁻ Hᵀ + R + H M + Mᵀ Hᵀ
+        K = (P⁻ Hᵀ + M) S⁻¹
+        P⁺ = P⁻ − K (H P⁻ + Mᵀ)      (general-gain form)
+
+    M=0 reduces exactly to the vanilla step (pinned); correctness is
+    pinned against brute-force joint-Gaussian conditioning over the
+    whole trajectory (tests/test_classic.py).
+
+    M must be consistent: the JOINT noise covariance [[Q, M], [Mᵀ, R]]
+    has to be PSD, else the recursion can produce an indefinite
+    posterior and diverge (measured: NaN within a few hundred steps at
+    a 10x-too-large M).  Checked host-side at trace time for concrete
+    inputs."""
+    m_cross = jnp.asarray(m_cross)  # [n, p]
+    if not isinstance(m_cross, jax.core.Tracer) and not isinstance(
+            model.noise.q, jax.core.Tracer):
+        import numpy as _np
+
+        q_np = _np.asarray(model.noise.q)
+        r_np = _np.asarray(model.noise.r)
+        m_np = _np.asarray(m_cross)
+        joint = _np.block([[q_np, m_np], [m_np.T, r_np]])
+        w_min = float(_np.linalg.eigvalsh(joint).min())
+        if w_min < -1e-9 * max(1.0, float(_np.abs(joint).max())):
+            raise ValueError(
+                "correlated_step: joint noise covariance [[Q, M], [M', R]] "
+                f"is not PSD (min eigenvalue {w_min:.3e}); shrink M")
+    x_pred, p_pred = predict(model, state, control)
+    h = model.h
+    y_hat = h @ state.x
+    pht_m = p_pred @ h.T + m_cross
+    s = linalg.sym(h @ p_pred @ h.T + model.noise.r
+                   + h @ m_cross + m_cross.T @ h.T)
+    k_gain = linalg.solve_psd(s, pht_m.T).T
+    innovation = measurement - h @ x_pred
+    x = x_pred + k_gain @ innovation
+    # K is no longer the Joseph-compatible gain w.r.t. (H, R) alone:
+    # use the general-gain covariance P⁺ = P⁻ − K S Kᵀ (exact for the
+    # optimal K above).
+    p = linalg.sym(p_pred - k_gain @ s @ k_gain.T)
+    est = Estimate(
+        state=x,
+        measurement=y_hat,
+        innovation=innovation,
+        covariance=p,
+        pred_covariance=p_pred,
+        gain=k_gain,
+    )
+    return State(x, p, state.k + 1), est
+
+
+@linalg.highp
+def run_correlated(model: Model, state: State, measurements, m_cross,
+                   controls=None):
+    """lax.scan driver for the correlated-noise filter."""
+
+    def body(carry, xs):
+        meas, u = xs
+        return correlated_step(model, carry, meas, m_cross, u)
+
+    return jax.lax.scan(body, state, (measurements, controls))

@@ -302,3 +302,80 @@ def run_augmented(model: Model, state: State, measurements, fx: Callable,
         return step_augmented(model, carry, meas, fx, hx, u, has)
 
     return jax.lax.scan(body, state, (measurements, controls, meas_masks))
+
+
+@linalg.highp
+def step_iplf(model: Model, state: State, measurement, fx: Callable,
+              hx: Callable, control=None, has=None, iters: int = 3):
+    """One ITERATED posterior-linearization filter step
+    (García-Fernández, Svensson, Morelande & Särkkä 2015): the UKF's
+    measurement update performs statistical linear regression (SLR) of
+    hx around the PRIOR; when the posterior lands far from the prior
+    (strong nonlinearity + informative measurement) that linearization
+    is evaluated in the wrong place.  The IPLF re-linearizes around the
+    CURRENT POSTERIOR and repeats:
+
+        (H, b, Ω) = SLR of hx at (x_i, P_i):
+            H = C_xzᵀ P_i⁻¹,  b = ȳ − H x_i,  Ω = S_z − H P_i Hᵀ
+        (x_{i+1}, P_{i+1}) = exact KF update of the PRIOR with the
+            affine model y = H x + b + e,  e ~ N(0, R + Ω)
+
+    iters=1 IS the standard UKF update (pinned); each further sweep is
+    a fixed-point iteration on the linearization point.  Unlike the
+    IEKF (hybrid.iekf_update) this keeps the derivative-free SLR AND
+    the Ω linearization-residual inflation, so it remains calibrated
+    where the IEKF's Jacobian update goes overconfident.
+    """
+    x_pred, p_pred, prop, (wm, wc) = predict(model, state, fx, control)
+
+    def slr_update(carry, _):
+        x_i, p_i = carry
+        pts = sigma_points(x_i, p_i, model.params)
+        zpts = jax.vmap(hx)(pts)
+        y_bar, s_z, zdev = unscented_transform(zpts, wm, wc)
+        xdev = pts - x_i[None, :]
+        c_xz = jnp.einsum("i,ij,ik->jk", wc, xdev, zdev)  # [n, p]
+        h_lin = linalg.solve_psd(p_i, c_xz).T  # [p, n]
+        omega = linalg.sym(s_z - h_lin @ p_i @ h_lin.T)
+        r_eff = model.noise.r + omega
+        # exact affine-model update of the PRIOR
+        y_hat_prior = y_bar + h_lin @ (x_pred - x_i)
+        s = linalg.sym(h_lin @ p_pred @ h_lin.T + r_eff)
+        k_gain = linalg.solve_psd(s, (p_pred @ h_lin.T).T).T
+        innovation = measurement - y_hat_prior
+        x_new = x_pred + k_gain @ innovation
+        p_new = linalg.sym(p_pred - k_gain @ s @ k_gain.T)
+        return (x_new, p_new), (k_gain, innovation, s, y_hat_prior)
+
+    (x, p), (k_gain, innovation, s, y_hat) = jax.lax.scan(
+        slr_update, (x_pred, p_pred), None, length=iters)
+    k_gain, innovation = k_gain[-1], innovation[-1]
+    s_last, y_hat = s[-1], y_hat[-1]
+
+    if has is not None:
+        x = jnp.where(has, x, x_pred)
+        p = jnp.where(has, p, p_pred)
+        k_gain = jnp.where(has, k_gain, jnp.zeros_like(k_gain))
+        innovation = jnp.where(has, innovation, jnp.zeros_like(innovation))
+    est = Estimate(
+        state=x,
+        measurement=y_hat,
+        innovation=innovation,
+        covariance=p,
+        pred_covariance=p_pred,
+        gain=k_gain,
+        innovation_covariance=s_last,
+    )
+    return State(x, p, state.k + 1), est
+
+
+@linalg.highp
+def run_iplf(model: Model, state: State, measurements, fx: Callable,
+             hx: Callable, controls=None, meas_masks=None, iters: int = 3):
+    """lax.scan driver for the IPLF."""
+
+    def body(carry, xs):
+        meas, u, has = xs
+        return step_iplf(model, carry, meas, fx, hx, u, has, iters)
+
+    return jax.lax.scan(body, state, (measurements, controls, meas_masks))

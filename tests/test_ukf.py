@@ -339,3 +339,91 @@ def test_urts_with_controls_matches_linear_rts():
         x_sm[k] = x_k + c @ (x_sm[k + 1] - x_pred)
         p_sm[k] = p_k + c @ (p_sm[k + 1] - p_pred) @ c.T
     np.testing.assert_allclose(xs_u, jnp.stack(x_sm), atol=1e-8)
+
+
+def test_iplf_one_iteration_is_ukf():
+    """The first IPLF sweep linearizes at the prior — algebraically THE
+    standard UKF update (gain, posterior, covariance identical)."""
+    nz = gn.noiseless(0.01 * jnp.eye(2), jnp.array([[0.09]]))
+    um, us = ukf.new(jnp.array([1.0, 0.5]), 0.4 * jnp.eye(2), nz)
+
+    def fx(x):
+        return jnp.array([x[0] + 0.1 * jnp.sin(x[1]), 0.95 * x[1]])
+
+    def hx(x):
+        return jnp.array([jnp.linalg.norm(x)])
+
+    _, e1 = ukf.step(um, us, jnp.array([1.4]), fx, hx)
+    _, e2 = ukf.step_iplf(um, us, jnp.array([1.4]), fx, hx, iters=1)
+    np.testing.assert_allclose(np.asarray(e2.state), np.asarray(e1.state),
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(e2.covariance),
+                               np.asarray(e1.covariance), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(e2.gain), np.asarray(e1.gain),
+                               atol=1e-12)
+
+
+def test_iplf_beats_ukf_on_informative_nonlinear_measurement():
+    """Cubic sensor y = 0.1x³, sharp R, wide prior: the posterior lands
+    far from the prior, so the UKF's prior-point SLR uses the wrong
+    slope; re-linearizing at the posterior (8 sweeps) cuts RMSE ~2x
+    (measured 0.29 vs 0.55 over 150 draws)."""
+    rng = np.random.default_rng(1)
+    sig = 0.05
+    idf = lambda x: x
+
+    def hx(x):
+        return 0.1 * x**3
+
+    errs_u, errs_i = [], []
+    for _ in range(150):
+        xt = np.array([1.5 + rng.standard_normal()])
+        y = 0.1 * xt**3 + sig * rng.standard_normal(1)
+        nz1 = gn.noiseless(1e-12 * jnp.eye(1), jnp.array([[sig**2]]))
+        um1, us1 = ukf.new(jnp.array([1.5]), jnp.eye(1), nz1)
+        _, eu = ukf.step(um1, us1, jnp.asarray(y), idf, hx)
+        _, ei = ukf.step_iplf(um1, us1, jnp.asarray(y), idf, hx, iters=8)
+        errs_u.append(float(eu.state[0] - xt[0]) ** 2)
+        errs_i.append(float(ei.state[0] - xt[0]) ** 2)
+    rmse_u = np.sqrt(np.mean(errs_u))
+    rmse_i = np.sqrt(np.mean(errs_i))
+    assert rmse_i < 0.65 * rmse_u, (rmse_i, rmse_u)
+
+
+def test_iplf_masked_step_is_prediction():
+    nz = gn.noiseless(0.01 * jnp.eye(2), jnp.array([[0.09]]))
+    um, us = ukf.new(jnp.array([1.0, 0.5]), 0.4 * jnp.eye(2), nz)
+
+    def fx(x):
+        return 0.98 * x
+
+    def hx(x):
+        return jnp.array([jnp.linalg.norm(x)])
+
+    st, est = ukf.step_iplf(um, us, jnp.array([5.0]), fx, hx,
+                            has=jnp.bool_(False), iters=4)
+    x_pred, p_pred, _, _ = ukf.predict(um, us, fx)
+    np.testing.assert_allclose(np.asarray(st.x), np.asarray(x_pred),
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(st.p), np.asarray(p_pred),
+                               atol=1e-12)
+
+
+def test_iplf_run_equals_loop():
+    nz = gn.noiseless(0.01 * jnp.eye(2), jnp.array([[0.09]]))
+    um, us = ukf.new(jnp.array([1.0, 0.5]), 0.4 * jnp.eye(2), nz)
+
+    def fx(x):
+        return jnp.array([x[0] + 0.1 * jnp.sin(x[1]), 0.95 * x[1]])
+
+    def hx(x):
+        return jnp.array([jnp.linalg.norm(x)])
+
+    T = 15
+    ys = 1.0 + 0.1 * jax.random.normal(jax.random.PRNGKey(0), (T, 1))
+    _, est = ukf.run_iplf(um, us, ys, fx, hx, iters=3)
+    st = us
+    for k in range(T):
+        st, e = ukf.step_iplf(um, st, ys[k], fx, hx, iters=3)
+        np.testing.assert_allclose(np.asarray(est.state[k]),
+                                   np.asarray(e.state), atol=1e-10)

@@ -15,6 +15,7 @@ from . import (
     mhe,
     particle,
     pdaf,
+    phd,
     quadrature,
     rbpf,
     schmidt,
@@ -33,5 +34,5 @@ __all__ = [
     "vanilla", "information", "sqrt", "srif", "hybrid", "batch", "ukf",
     "srukf", "adaptive", "smoothing", "enkf", "particle", "imm", "rbpf",
     "gsf", "schmidt", "udu", "hinf", "constrained", "pdaf", "mhe",
-    "studentt", "quadrature", "mekf", "jpda", "tracker",
+    "studentt", "quadrature", "mekf", "jpda", "tracker", "phd",
 ]

@@ -1,0 +1,153 @@
+"""GM-PHD filter pins: cardinality tracking through target birth/
+death, localization of the extracted components, pure-clutter
+rejection, and single-target agreement with the KF."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gokalman_tpu import noise as gn
+from gokalman_tpu.filters import phd, vanilla
+
+
+def _cv_system(dt=1.0, q_scale=1e-3, r_scale=0.04):
+    f = jnp.asarray(np.kron(np.eye(2), np.array([[1.0, dt], [0.0, 1.0]])))
+    qb = np.array([[dt**3 / 3, dt**2 / 2], [dt**2 / 2, dt]]) * q_scale
+    q = jnp.asarray(np.kron(np.eye(2), qb))
+    h = jnp.asarray(np.kron(np.eye(2), np.array([[1.0, 0.0]])))
+    r = r_scale * jnp.eye(2)
+    return f, q, h, r
+
+
+def _birth():
+    bm = jnp.asarray([[-5.0, 0.0, -5.0, 0.0], [5.0, 0.0, 5.0, 0.0]])
+    bp = jnp.broadcast_to(jnp.diag(jnp.asarray([4.0, 0.25, 4.0, 0.25])),
+                          (2, 4, 4))
+    bw = jnp.asarray([0.03, 0.03])
+    return bw, bm, bp
+
+
+def _scenario(seed=0, T=80):
+    """A: frames 0..44; B: frames 20..; 3-5 uniform clutter over
+    100x100; PD=0.95."""
+    f, q, h, r = _cv_system()
+    fn, hn = np.asarray(f), np.asarray(h)
+    rng = np.random.default_rng(seed)
+    a = np.array([-5.0, 0.12, -5.0, 0.10])
+    b = np.array([5.0, -0.10, 5.0, -0.08])
+    frames, ta, tb = [], [], []
+    for k in range(T):
+        a, b = fn @ a, fn @ b
+        ta.append(a.copy())
+        tb.append(b.copy())
+        dets = []
+        if k < 45 and rng.random() < 0.95:
+            dets.append(hn @ a + 0.2 * rng.standard_normal(2))
+        if k >= 20 and rng.random() < 0.95:
+            dets.append(hn @ b + 0.2 * rng.standard_normal(2))
+        while len(dets) < 5:
+            dets.append(rng.uniform(-50, 50, 2))
+        rng.shuffle(dets)
+        frames.append(np.stack(dets))
+    return (f, q, h, r, jnp.asarray(np.stack(frames)),
+            jnp.ones((T, 5), bool), np.stack(ta), np.stack(tb))
+
+
+def test_phd_cardinality_follows_birth_and_death():
+    f, q, h, r, frames, masks, ta, tb = _scenario()
+    bw, bm, bp = _birth()
+    model, state = phd.new(f, None, h, gn.noiseless(q, r), bw, bm, bp,
+                           p_survival=0.99, p_detect=0.95,
+                           clutter=5 / 10000.0, j_max=24)
+    _, est = phd.run(model, state, frames, masks)
+    card = np.asarray(est.cardinality)
+    # one target alone, two together, one after A dies (window means
+    # absorb the single-frame (1-PD) dips — a PHD characteristic at
+    # high PD, the weight drops by x0.05 on a missed detection and
+    # recovers on the next hit)
+    assert 0.7 < card[8:18].mean() < 1.3, card[8:18].mean()
+    assert 1.6 < card[30:44].mean() < 2.4, card[30:44].mean()
+    assert 0.6 < card[60:].mean() < 1.4, card[60:].mean()
+
+
+def test_phd_localizes_targets():
+    f, q, h, r, frames, masks, ta, tb = _scenario()
+    bw, bm, bp = _birth()
+    model, state = phd.new(f, None, h, gn.noiseless(q, r), bw, bm, bp,
+                           p_survival=0.99, p_detect=0.95,
+                           clutter=5 / 10000.0, j_max=24)
+    _, est = phd.run(model, state, frames, masks)
+    # mid-arc: the two heaviest components sit on the two truths
+    for k in (35, 40):
+        tops = np.asarray(est.states[k, :2, ::2])
+        truths = np.stack([ta[k][::2], tb[k][::2]])
+        # match each truth to its nearest top component
+        d = np.linalg.norm(tops[None, :, :] - truths[:, None, :], axis=2)
+        assert d.min(axis=1).max() < 0.6, d
+    # tail: the heaviest component tracks B
+    d_b = np.linalg.norm(np.asarray(est.states[-1, 0, ::2]) - tb[-1][::2])
+    assert d_b < 0.6, d_b
+
+
+def test_phd_pure_clutter_stays_empty():
+    f, q, h, r = _cv_system()
+    bw, bm, bp = _birth()
+    rng = np.random.default_rng(7)
+    T = 60
+    frames = jnp.asarray(rng.uniform(-50, 50, (T, 5, 2)))
+    masks = jnp.ones((T, 5), bool)
+    model, state = phd.new(f, None, h, gn.noiseless(q, r), bw, bm, bp,
+                           p_survival=0.99, p_detect=0.95,
+                           clutter=5 / 10000.0, j_max=24)
+    _, est = phd.run(model, state, frames, masks)
+    card = np.asarray(est.cardinality)
+    assert card.mean() < 0.3, card.mean()
+    assert int(np.asarray(est.n_extracted).max()) <= 1
+
+
+def test_phd_single_target_tracks_like_kf():
+    """PD=1, no clutter, one target: after lock-on the dominant PHD
+    component's mean must follow the matched KF to a fraction of the
+    measurement sigma."""
+    f, q, h, r = _cv_system()
+    fn, hn = np.asarray(f), np.asarray(h)
+    rng = np.random.default_rng(3)
+    T = 50
+    a = np.array([-5.0, 0.12, -5.0, 0.10])
+    frames, truth, meas = [], [], []
+    for k in range(T):
+        a = fn @ a
+        truth.append(a.copy())
+        z = hn @ a + 0.2 * rng.standard_normal(2)
+        meas.append(z)
+        pad = np.full((5, 2), 1e6)
+        pad[0] = z
+        frames.append(pad)
+    frames = jnp.asarray(np.stack(frames))
+    masks = jnp.zeros((T, 5), bool).at[:, 0].set(True)
+    bw, bm, bp = _birth()
+    model, state = phd.new(f, None, h, gn.noiseless(q, r), bw, bm, bp,
+                           p_survival=0.999, p_detect=0.999,
+                           clutter=1e-6, j_max=16)
+    _, est = phd.run(model, state, frames, masks)
+
+    vm, vs = vanilla.new(jnp.asarray([-5.0, 0.12, -5.0, 0.10]),
+                         jnp.diag(jnp.asarray([4.0, 0.25, 4.0, 0.25])),
+                         f, None, h, gn.noiseless(q, r))
+    _, ekf = vanilla.run(vm, vs, jnp.asarray(np.stack(meas)))
+    d = np.linalg.norm(np.asarray(est.states[10:, 0, ::2])
+                       - np.asarray(ekf.state[10:, ::2]), axis=1)
+    assert d.max() < 0.15, d.max()
+    card = np.asarray(est.cardinality)
+    assert 0.85 < card[10:].mean() < 1.15, card[10:].mean()
+
+
+def test_phd_ctor_validation():
+    import pytest
+
+    f, q, h, r = _cv_system()
+    bw, bm, bp = _birth()
+    with pytest.raises(ValueError):
+        phd.new(f, None, h, gn.noiseless(q, r), bw, bm[0], bp)
+    with pytest.raises(ValueError):
+        phd.new(f, None, h, gn.noiseless(q, r), bw[:1], bm, bp)

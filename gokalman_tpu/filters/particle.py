@@ -319,3 +319,92 @@ def run(state: State, measurements, propagate: Callable, loglik: Callable,
                     resample_threshold, has)
 
     return jax.lax.scan(body, state, (measurements, controls, meas_masks, keys))
+
+
+@linalg.highp
+def run_ffbs(state: State, measurements, propagate: Callable,
+             loglik: Callable, trans_logpdf: Callable, key: jax.Array,
+             controls=None, meas_masks=None,
+             resample_threshold: float = 0.5):
+    """Forward-filter backward-smoother (FFBS, marginal form; Doucet,
+    Godsill & Andrieu 2000): particle fixed-interval smoothing.  The
+    forward pass is the bootstrap SIR filter emitting each step's cloud
+    (particles, log-weights); the backward pass reweights WITHOUT
+    moving any particle:
+
+        W_T = w_T
+        W_k^i ∝ w_k^i Σ_j W_{k+1}^j f(x_{k+1}^j | x_k^i)
+                              / Σ_l w_k^l f(x_{k+1}^j | x_k^l)
+
+    — all in log-space (one [N, N] transition-density matrix per step,
+    O(N²T) total, MXU-shaped batched work).
+
+    `trans_logpdf(x_next, x_prev[, u])` is the transition DENSITY the
+    sampler `propagate` draws from (the bootstrap proposal); it must be
+    supplied because a sampler's density is not derivable from it.
+    `controls[k+1]` drives the k -> k+1 transition, matching the
+    filter's inputs.
+
+    Returns (xs_smoothed [T, n], ps_smoothed [T, n, n], particles
+    [T, N, n], log_smooth_weights [T, N]).  The last step equals the
+    filter exactly (pinned); on linear-Gaussian models the smoothed
+    moments land on the RTS smoother as N grows (pinned at N=2048).
+    """
+    t = measurements.shape[0]
+    keys = jax.random.split(key, t)
+
+    def fwd_body(carry, xs):
+        meas, u, has, k = xs
+        new_state, est = step(carry, meas, propagate, loglik, k, u,
+                              resample_threshold, has)
+        return new_state, (new_state.particles, new_state.log_weights)
+
+    _, (clouds, logws) = jax.lax.scan(
+        fwd_body, state, (measurements, controls, meas_masks, keys))
+
+    if controls is None:
+        u_next_arr = None
+    else:
+        u_next_arr = jnp.concatenate([controls[1:], controls[-1:]], axis=0)
+
+    def bwd_body(carry, xs):
+        logw_next_sm = carry  # [N] log smoothing weights at k+1
+        cloud_k, logw_k, cloud_next, u_n, is_last = xs
+
+        def pairdens(x_next):
+            if u_next_arr is not None:
+                return jax.vmap(
+                    lambda x_prev: trans_logpdf(x_next, x_prev, u_n))(
+                        cloud_k)
+            return jax.vmap(lambda x_prev: trans_logpdf(x_next, x_prev))(
+                cloud_k)
+
+        log_a = jax.vmap(pairdens)(cloud_next)  # [N_next_j, N_prev_i]
+        # denominator per j: logsumexp_l (log w_k^l + log A_jl)
+        log_den = jax.scipy.special.logsumexp(
+            log_a + logw_k[None, :], axis=1)  # [N_j]
+        inner = jax.scipy.special.logsumexp(
+            logw_next_sm[:, None] + log_a - log_den[:, None], axis=0)
+        logw_sm = logw_k + inner
+        logw_sm = logw_sm - jax.scipy.special.logsumexp(logw_sm)
+        logw_out = jnp.where(is_last, logw_k, logw_sm)
+        return logw_out, logw_out
+
+    is_last = jnp.arange(t) == (t - 1)
+    cloud_next = jnp.roll(clouds, -1, axis=0)
+    xs_in = (clouds, logws, cloud_next,
+             u_next_arr if u_next_arr is not None
+             else jnp.zeros((t, 1), clouds.dtype), is_last)
+    _, logw_smooth = jax.lax.scan(bwd_body, logws[-1], xs_in, reverse=True)
+
+    def moments(cloud, logw):
+        w = jnp.exp(logw - jax.scipy.special.logsumexp(logw))
+        mean = w @ cloud
+        dev = cloud - mean[None, :]
+        # same unbiased weighted covariance as step()
+        cov = jnp.einsum("i,ij,ik->jk", w, dev, dev) / jnp.maximum(
+            1.0 - jnp.sum(w**2), 1e-12)
+        return mean, linalg.sym(cov)
+
+    xs_sm, ps_sm = jax.vmap(moments)(clouds, logw_smooth)
+    return xs_sm, ps_sm, clouds, logw_smooth

@@ -196,3 +196,90 @@ def test_stratified_and_multinomial_resampling_unbiased():
     v_mul = counts(particle.multinomial_resample_indices).var(0).sum()
     assert v_sys <= v_str + 0.05, (v_sys, v_str)
     assert v_str <= v_mul + 0.05, (v_str, v_mul)
+
+
+def _gaussian_trans_logpdf(fx, noise):
+    """log N(x_next; fx(x_prev), Q) for FFBS."""
+    q_inv = np.linalg.inv(np.asarray(noise.q))
+    _, logdet = np.linalg.slogdet(np.asarray(noise.q))
+    n = noise.q.shape[0]
+    qi = jnp.asarray(q_inv)
+    c = -0.5 * (logdet + n * np.log(2 * np.pi))
+
+    def f(x_next, x_prev):
+        d = x_next - fx(x_prev)
+        return c - 0.5 * d @ qi @ d
+
+    return f
+
+
+def test_ffbs_matches_rts_on_linear_gaussian():
+    """N=2048 FFBS smoothing weights: the smoothed moments must land on
+    the exact RTS smoother, far inside the filter-to-smoother gap (the
+    EnKS-style pin), and the last step must equal the filter exactly."""
+    from gokalman_tpu.filters import smoothing
+
+    f, h, q, r, x0, p0 = _system()
+    T = 30
+    ys = _measurements(T, seed=5)
+    model, st0 = vanilla.new(x0, p0, f, None, h, gk.noise.noiseless(q, r))
+    _, kf_est = vanilla.run(model, st0, ys)
+    phis = jnp.broadcast_to(f, (T, 2, 2))
+    x_rts, p_rts = smoothing.rts_smoother(phis, q, kf_est.state,
+                                          kf_est.covariance)
+
+    fx = lambda x: f @ x
+    hx = lambda x: h @ x
+    noise = gk.noise.awgn(q, r)
+    prop = particle.additive_dynamics(fx, noise)
+    loglik = particle.gaussian_log_likelihood(hx, noise)
+    s0 = particle.new(x0, p0, 2048, jax.random.PRNGKey(0))
+    xs_sm, ps_sm, clouds, logw_sm = particle.run_ffbs(
+        s0, ys, prop, loglik, _gaussian_trans_logpdf(fx, noise),
+        jax.random.PRNGKey(1))
+
+    err_sm = np.abs(np.asarray(xs_sm) - np.asarray(x_rts)).mean()
+    err_filt = np.abs(np.asarray(kf_est.state) - np.asarray(x_rts)).mean()
+    assert err_sm < 0.3 * err_filt, (err_sm, err_filt)
+    # smoothed covariances near the RTS ones
+    perr = np.abs(np.asarray(ps_sm) - np.asarray(p_rts)).mean()
+    assert perr < 0.02, perr
+    # weights normalized
+    np.testing.assert_allclose(
+        np.exp(np.asarray(jax.scipy.special.logsumexp(logw_sm, axis=1))),
+        1.0, atol=1e-6)
+
+
+def test_ffbs_last_step_is_filter():
+    """FFBS emits POST-resample clouds (step() estimates pre-resample
+    — measured while building); with resampling disabled the two
+    representations coincide and the last smoothed step must equal the
+    filter exactly."""
+    f, h, q, r, x0, p0 = _system()
+    T = 12
+    ys = _measurements(T, seed=6)
+    fx = lambda x: f @ x
+    hx = lambda x: h @ x
+    noise = gk.noise.awgn(q, r)
+    prop = particle.additive_dynamics(fx, noise)
+    loglik = particle.gaussian_log_likelihood(hx, noise)
+    s0 = particle.new(x0, p0, 256, jax.random.PRNGKey(2))
+    key = jax.random.PRNGKey(3)
+    _, est = particle.run(s0, ys, prop, loglik, key,
+                          resample_threshold=0.0)
+    xs_sm, ps_sm, _, _ = particle.run_ffbs(
+        s0, ys, prop, loglik, _gaussian_trans_logpdf(fx, noise), key,
+        resample_threshold=0.0)
+    np.testing.assert_allclose(np.asarray(xs_sm[-1]),
+                               np.asarray(est.state[-1]), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(ps_sm[-1]),
+                               np.asarray(est.covariance[-1]), atol=1e-10)
+    # with resampling on, the last step matches the FINAL STATE's own
+    # (post-resample) moments instead
+    fin, _ = particle.run(s0, ys, prop, loglik, key)
+    xs2, ps2, clouds2, logw2 = particle.run_ffbs(
+        s0, ys, prop, loglik, _gaussian_trans_logpdf(fx, noise), key)
+    w = np.exp(np.asarray(fin.log_weights))
+    w = w / w.sum()
+    mean_fin = w @ np.asarray(fin.particles)
+    np.testing.assert_allclose(np.asarray(xs2[-1]), mean_fin, atol=1e-10)

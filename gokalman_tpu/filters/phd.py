@@ -135,13 +135,17 @@ def step(model: Model, state: State, candidates, cand_mask):
              - 0.5 * p_dim * math.log(2 * math.pi))
     logw_det = jnp.log(jnp.maximum(model.p_detect * w_pred, 1e-300))[:, None] \
         + log_q  # [Jp, m]
+    # NaN-safe masking: padded candidate slots may hold NaN/garbage —
+    # jnp.where (not a multiply: NaN*0 = NaN) on both the weights and
+    # the updated means, the jpda/pdaf convention.
+    mask = jnp.asarray(cand_mask, bool)[None, :]
+    logw_det = jnp.where(mask, logw_det, -jnp.inf)
     # per-measurement normalizer κ + Σ_i exp(logw_det)
     denom = model.clutter + jnp.exp(
         jax.scipy.special.logsumexp(logw_det, axis=0))  # [m]
-    w_det = jnp.exp(logw_det) / denom[None, :]
-    w_det = w_det * jnp.asarray(cand_mask, dt)[None, :]
+    w_det = jnp.where(mask, jnp.exp(logw_det) / denom[None, :], 0.0)
     m_det = m_pred[:, None, :] + jnp.einsum(
-        "inp,imp->imn", k_all, diffs)  # [Jp, m, n]
+        "inp,imp->imn", k_all, jnp.where(mask[..., None], diffs, 0.0))
 
     # ---- stack miss + detection components
     w_miss = (1.0 - model.p_detect) * w_pred

@@ -130,7 +130,7 @@ def step(model: Model, state: State, measurement, control=None, has=None):
     s = linalg.sym(model.h @ pht + model.noise.r)
     k_gain = linalg.solve_psd(s, pht.T).T
     innovation = measurement - y_hat
-    delta_sq = linalg.quadratic_form(innovation, linalg.inv_psd(s))
+    delta_sq = innovation @ linalg.solve_psd(s, innovation)
 
     if has is not None:
         k_gain = jnp.where(has, k_gain, jnp.zeros_like(k_gain))

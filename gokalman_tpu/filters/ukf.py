@@ -357,6 +357,7 @@ def step_iplf(model: Model, state: State, measurement, fx: Callable,
         p = jnp.where(has, p, p_pred)
         k_gain = jnp.where(has, k_gain, jnp.zeros_like(k_gain))
         innovation = jnp.where(has, innovation, jnp.zeros_like(innovation))
+        y_hat = jnp.where(has, y_hat, jnp.zeros_like(y_hat))
     est = Estimate(
         state=x,
         measurement=y_hat,

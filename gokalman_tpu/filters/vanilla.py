@@ -459,7 +459,7 @@ def run(
 
 @linalg.highp
 def oosm_update(model: Model, state: State, est_k: Estimate, y_tau,
-                f2, q2, h_tau=None, r_tau=None):
+                f2, q2, h_tau=None, r_tau=None, offset=None):
     """EXACT out-of-sequence measurement update (Bar-Shalom 2002, the
     one-step-lag "Bl1" algorithm): a measurement y_τ taken at a time
     τ ∈ (t_{k-1}, t_k] arrives AFTER the filter has already processed
@@ -474,6 +474,12 @@ def oosm_update(model: Model, state: State, est_k: Estimate, y_tau,
     the model's H/R.  The step at t_k must have been a measurement
     update with the model's H/R (that step's innovation/gain are what
     make the exact retrodiction possible).
+
+    CONTROLLED systems: `offset` ([n]) is the deterministic input term
+    over [τ, t_k] (b = G₂ u for x_k = F₂ x_τ + b + w) — without it the
+    retrodiction is biased by F₂⁻¹ b while the covariance stays exact,
+    an error invisible to NEES-style self-checks (measured 0.8 state
+    error on a controlled CV test before this parameter existed).
 
     Derivation (all by joint-Gaussian conditioning; w = process noise
     over [τ, t_k], ν_k/S_k/K_k the step-k innovation quantities):
@@ -509,7 +515,10 @@ def oosm_update(model: Model, state: State, est_k: Estimate, y_tau,
 
     # Retrodict through Φ(t_k, τ)⁻¹ (QR-based general solve: TPU x64
     # has no LU).
-    x_tau = linalg.solve_qr(f2, est_k.state - w_hat)
+    x_det = est_k.state - w_hat
+    if offset is not None:
+        x_det = x_det - jnp.asarray(offset)
+    x_tau = linalg.solve_qr(f2, x_det)
     p_mid = est_k.covariance + p_w - p_xw - p_xw.T
     f2_inv = linalg.inv_qr(f2)
     p_tau = linalg.sym(f2_inv @ p_mid @ f2_inv.T)
@@ -549,14 +558,31 @@ def fading_step(model: Model, state: State, measurement, control=None,
     """
     x_pred, p_pred = predict(model, state, control)
     p_pred = linalg.sym(alpha**2 * (p_pred - model.noise.q) + model.noise.q)
-    inter = State(x_pred, p_pred, state.k)
-    # reuse the measurement-update half of step() by zeroing dynamics
-    n = state.x.shape[0]
-    ident_model = model._replace(f=jnp.eye(n, dtype=state.p.dtype), g=None,
-                                 noise=model.noise._replace(
-                                     q=jnp.zeros((n, n), state.p.dtype)))
-    return step(ident_model, inter, measurement, h=h, r=r,
-                meas_mask=meas_mask)
+    h_k = model.h if h is None else h
+    r_k = model.noise.r if r is None else r
+    if meas_mask is not None:
+        h_k, r_k, measurement = mask_measurement(h_k, r_k, measurement,
+                                                 meas_mask)
+    # inline measurement update (NOT a re-entry into step(): that would
+    # run a second predict and emit y_hat = H x_pred, breaking the
+    # documented Estimate.measurement = H previous-state convention,
+    # vanilla.go:155-157 — measured 0.04 divergence before this fix)
+    y_hat = h_k @ state.x
+    pht = p_pred @ h_k.T
+    s_cov = h_k @ pht + r_k
+    k_gain = linalg.solve_psd(s_cov, pht.T).T
+    innovation = measurement - h_k @ x_pred
+    x = x_pred + k_gain @ innovation
+    p = joseph_update(p_pred, k_gain, h_k, r_k)
+    est = Estimate(
+        state=x,
+        measurement=y_hat,
+        innovation=innovation,
+        covariance=p,
+        pred_covariance=p_pred,
+        gain=k_gain,
+    )
+    return State(x, p, state.k + 1), est
 
 
 @linalg.highp

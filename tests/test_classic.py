@@ -216,3 +216,19 @@ def test_augmented_ukf_masked_step_is_prediction():
     np.testing.assert_allclose(np.asarray(st.p),
                                np.asarray(est.pred_covariance), atol=1e-10)
     assert float(jnp.linalg.norm(est.gain)) == 0.0
+
+
+def test_fading_alpha_one_preserves_measurement_convention():
+    """est.measurement must be H @ previous state (vanilla.go:155-157)
+    on the fading path too — the review pass caught a step() re-entry
+    that emitted H @ x_pred instead (0.04 divergence)."""
+    f, h, q, r, x0, p0 = _system()
+    nz = gn.noiseless(q, r)
+    vm, vs = vanilla.new(x0, p0, f, None, h, nz)
+    ys = jax.random.normal(jax.random.PRNGKey(9), (15, 1))
+    _, ev = vanilla.run(vm, vs, ys)
+    _, ef = vanilla.run_fading(vm, vs, ys, alpha=1.0)
+    np.testing.assert_allclose(np.asarray(ef.measurement),
+                               np.asarray(ev.measurement), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(ef.innovation),
+                               np.asarray(ev.innovation), atol=1e-12)

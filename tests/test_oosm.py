@@ -108,3 +108,56 @@ def test_oosm_always_tightens_covariance():
     d = np.asarray(est_k.covariance) - np.asarray(e.covariance)
     assert np.linalg.eigvalsh(d).min() > -1e-12
     assert np.trace(d) > 1e-4
+
+
+def test_oosm_controlled_system_with_offset():
+    """CONTROLLED system: the deterministic input over [tau, t_k] must
+    enter the retrodiction via `offset` — without it the state is
+    biased by F2^-1 G u while the covariance stays exact (the failure
+    mode the review pass measured at 0.8 state error)."""
+    f, q, f1, q1, f2, q2 = _split_system(alpha=0.4)
+    h = jnp.array([[1.0, 0.0]])
+    r = jnp.array([[0.3]])
+    g = jnp.array([[1.0], [0.3]])
+    u = jnp.array([2.0])
+    x_prev = jnp.array([1.0, -0.5])
+    p_prev = jnp.asarray([[0.8, 0.1], [0.1, 0.4]])
+    y_k = jnp.array([1.7])
+    y_tau = jnp.array([0.9])
+
+    # split the control effect: over [t_{k-1}, tau] the input
+    # contributes g1 u, over [tau, t_k] g2 u, with g2 u + F2 g1 u = g u
+    # for the zero-order-hold CV system discretized at each dt.
+    a = jnp.array([[0.0, 1.0], [0.0, 0.0]])
+    import gokalman_tpu as gk
+    # ZOH B over dt for the double integrator with B_c = [0, 1]^T u
+    def zoh_b(dt_):
+        return jnp.array([[0.5 * dt_**2], [dt_]])
+    g1, g2 = zoh_b(0.4), zoh_b(0.6)
+    g_full = zoh_b(1.0)
+    np.testing.assert_allclose(np.asarray(f2 @ g1 + g2),
+                               np.asarray(g_full), atol=1e-12)
+
+    m1, s1 = vanilla.new(x_prev, p_prev, f1, g1, h,
+                         gn.noiseless(q1, jnp.array([[0.2]])))
+    s1_post, _ = vanilla.step(m1, s1, y_tau, control=u)
+    m2, _ = vanilla.new(s1_post.x, s1_post.p, f2, g2, h,
+                        gn.noiseless(q2, r))
+    s_ord, _ = vanilla.step(
+        m2, vanilla.State(s1_post.x, s1_post.p, jnp.int32(0)), y_k,
+        control=u)
+
+    mf, sf = vanilla.new(x_prev, p_prev, jnp.asarray(f2 @ f1), g_full, h,
+                         gn.noiseless(q, r))
+    sk, est_k = vanilla.step(mf, sf, y_k, control=u)
+    s_oosm, _ = vanilla.oosm_update(mf, sk, est_k, y_tau, f2, q2,
+                                    r_tau=jnp.array([[0.2]]),
+                                    offset=g2 @ u)
+    np.testing.assert_allclose(np.asarray(s_oosm.x), np.asarray(s_ord.x),
+                               atol=1e-11)
+    np.testing.assert_allclose(np.asarray(s_oosm.p), np.asarray(s_ord.p),
+                               atol=1e-11)
+    # and WITHOUT the offset the state is visibly biased
+    s_bad, _ = vanilla.oosm_update(mf, sk, est_k, y_tau, f2, q2,
+                                   r_tau=jnp.array([[0.2]]))
+    assert np.abs(np.asarray(s_bad.x) - np.asarray(s_ord.x)).max() > 0.05

@@ -151,3 +151,26 @@ def test_phd_ctor_validation():
         phd.new(f, None, h, gn.noiseless(q, r), bw, bm[0], bp)
     with pytest.raises(ValueError):
         phd.new(f, None, h, gn.noiseless(q, r), bw[:1], bm, bp)
+
+
+def test_phd_nan_padded_candidates_are_safe():
+    """Masked candidate slots may hold NaN padding: the intensity must
+    be identical to zero-padding (jnp.where masking, not a multiply —
+    NaN * 0 = NaN poisoned the whole filter before the fix)."""
+    f, q, h, r = _cv_system()
+    bw, bm, bp = _birth()
+    model, state = phd.new(f, None, h, gn.noiseless(q, r), bw, bm, bp,
+                           j_max=12)
+    good = jnp.asarray([[-5.0, -5.0], [3.0, 3.0]])
+    cands_nan = jnp.concatenate([good, jnp.full((3, 2), jnp.nan)])
+    cands_zero = jnp.concatenate([good, jnp.zeros((3, 2))])
+    mask = jnp.asarray([True, True, False, False, False])
+    st_nan, est_nan = phd.step(model, state, cands_nan, mask)
+    st_zero, est_zero = phd.step(model, state, cands_zero, mask)
+    assert np.isfinite(np.asarray(st_nan.w)).all()
+    np.testing.assert_allclose(np.asarray(st_nan.w),
+                               np.asarray(st_zero.w), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(st_nan.m),
+                               np.asarray(st_zero.m), atol=1e-12)
+    np.testing.assert_allclose(float(est_nan.cardinality),
+                               float(est_zero.cardinality), atol=1e-12)

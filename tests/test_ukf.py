@@ -427,3 +427,20 @@ def test_iplf_run_equals_loop():
         st, e = ukf.step_iplf(um, st, ys[k], fx, hx, iters=3)
         np.testing.assert_allclose(np.asarray(est.state[k]),
                                    np.asarray(e.state), atol=1e-10)
+
+
+def test_iplf_masked_step_zeroes_measurement_field():
+    """Masked-scan convention parity with ukf.step: est.measurement is
+    zeroed when has=False (review-pass consistency finding)."""
+    nz = gn.noiseless(0.01 * jnp.eye(2), jnp.array([[0.09]]))
+    um, us = ukf.new(jnp.array([1.0, 0.5]), 0.4 * jnp.eye(2), nz)
+    fx = lambda x: 0.98 * x
+    hx = lambda x: jnp.array([jnp.linalg.norm(x)])
+    _, e_iplf = ukf.step_iplf(um, us, jnp.array([5.0]), fx, hx,
+                              has=jnp.bool_(False), iters=3)
+    _, e_ukf = ukf.step(um, us, jnp.array([5.0]), fx, hx,
+                        has=jnp.bool_(False))
+    np.testing.assert_allclose(np.asarray(e_iplf.measurement), 0.0,
+                               atol=1e-15)
+    np.testing.assert_allclose(np.asarray(e_ukf.measurement), 0.0,
+                               atol=1e-15)

@@ -4,6 +4,7 @@ from . import (
     adaptive,
     batch,
     constrained,
+    cphd,
     enkf,
     gsf,
     hinf,
@@ -34,5 +35,5 @@ __all__ = [
     "vanilla", "information", "sqrt", "srif", "hybrid", "batch", "ukf",
     "srukf", "adaptive", "smoothing", "enkf", "particle", "imm", "rbpf",
     "gsf", "schmidt", "udu", "hinf", "constrained", "pdaf", "mhe",
-    "studentt", "quadrature", "mekf", "jpda", "tracker", "phd",
+    "studentt", "quadrature", "mekf", "jpda", "tracker", "phd", "cphd",
 ]

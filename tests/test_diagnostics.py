@@ -164,3 +164,97 @@ def test_divergence_onset_on_filter_run():
     k = int(diagnostics.divergence_onset(nis_bad, 1, window=25))
     assert 300 <= k <= 360, k
     assert int(diagnostics.divergence_onset(nis, 1, window=25)) == -1
+
+
+def test_ospa_hand_values_and_metric_properties():
+    from gokalman_tpu.diagnostics import ospa
+
+    e1 = jnp.asarray([[0.0, 0.0]])
+    t2 = jnp.asarray([[0.0, 0.0], [10.0, 0.0]])
+    m1 = jnp.asarray([True])
+    m2 = jnp.asarray([True, True])
+    # one matched at 0, one unmatched at cutoff 5: sqrt((0+25)/2)
+    v = float(ospa(e1, m1, t2, m2, cutoff=5.0))
+    np.testing.assert_allclose(v, np.sqrt(25.0 / 2.0), rtol=1e-6)
+    # identical sets -> 0; both empty -> 0
+    np.testing.assert_allclose(float(ospa(t2, m2, t2, m2, 5.0)), 0.0,
+                               atol=1e-9)
+    np.testing.assert_allclose(
+        float(ospa(e1, jnp.asarray([False]), t2,
+                   jnp.asarray([False, False]), 5.0)), 0.0, atol=1e-9)
+    # cardinality-only: empty est vs one truth == cutoff
+    np.testing.assert_allclose(
+        float(ospa(e1, jnp.asarray([False]), t2,
+                   jnp.asarray([True, False]), 5.0)), 5.0, rtol=1e-6)
+    # pure localization: |1.0| within cutoff
+    np.testing.assert_allclose(
+        float(ospa(jnp.asarray([[1.0, 0.0]]), m1,
+                   jnp.asarray([[0.0, 0.0]]), m1, 5.0)), 1.0, rtol=1e-6)
+    # symmetry + permutation invariance on a padded 3x3 scene
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.standard_normal((3, 2)))
+    b = jnp.asarray(rng.standard_normal((3, 2)))
+    ma = jnp.asarray([True, True, False])
+    mb = jnp.asarray([True, True, True])
+    v1 = float(ospa(a, ma, b, mb, 2.0))
+    v2 = float(ospa(b, mb, a, ma, 2.0))
+    np.testing.assert_allclose(v1, v2, rtol=1e-6)
+    perm = jnp.asarray([2, 0, 1])
+    v3 = float(ospa(a, ma, b[perm], mb[perm], 2.0))
+    np.testing.assert_allclose(v1, v3, rtol=1e-6)
+
+
+def test_ospa_matches_bruteforce_scipy_style():
+    """Exact assignment on random scenes vs a numpy brute force over
+    valid-only permutations (the textbook OSPA definition)."""
+    import itertools
+
+    from gokalman_tpu.diagnostics import ospa
+
+    rng = np.random.default_rng(3)
+    for trial in range(8):
+        m_valid = rng.integers(0, 4)
+        n_valid = rng.integers(0, 4)
+        c, p = 2.5, 2.0
+        e = rng.standard_normal((4, 2)) * 2
+        t = rng.standard_normal((4, 2)) * 2
+        em = np.arange(4) < m_valid
+        tm = np.arange(4) < n_valid
+        got = float(ospa(jnp.asarray(e), jnp.asarray(em), jnp.asarray(t),
+                         jnp.asarray(tm), c, order=p))
+        # textbook: m <= n by symmetry
+        ev, tv = e[em], t[tm]
+        if len(ev) > len(tv):
+            ev, tv = tv, ev
+        mm, nn = len(ev), len(tv)
+        if nn == 0:
+            want = 0.0
+        else:
+            best = np.inf
+            for pi in itertools.permutations(range(nn), mm):
+                s = sum(min(np.linalg.norm(ev[i] - tv[pi[i]]), c) ** p
+                        for i in range(mm))
+                best = min(best, s)
+            want = ((best + c**p * (nn - mm)) / nn) ** (1 / p)
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-9,
+                                   err_msg=f"trial {trial}")
+
+
+def test_ospa_traces_tracking_quality():
+    """vmap over frames: a tracker that locks two targets must show a
+    lower mean OSPA than one reporting only one of them."""
+    from gokalman_tpu.diagnostics import ospa
+
+    rng = np.random.default_rng(5)
+    T = 20
+    truth = np.stack([rng.uniform(-5, 5, (T, 2)),
+                      rng.uniform(-5, 5, (T, 2))], axis=1)  # [T, 2, 2]
+    good = truth + 0.1 * rng.standard_normal(truth.shape)
+    tmask = jnp.ones((T, 2), bool)
+    o_good = jax.vmap(lambda e, t: ospa(e, tmask[0], t, tmask[0], 3.0))(
+        jnp.asarray(good), jnp.asarray(truth))
+    half_mask = jnp.asarray(np.tile([True, False], (T, 1)))
+    o_half = jax.vmap(lambda e, em, t: ospa(e, em, t, tmask[0], 3.0))(
+        jnp.asarray(good), half_mask, jnp.asarray(truth))
+    assert float(o_good.mean()) < 0.3
+    assert float(o_half.mean()) > 1.5  # missing target costs ~c/sqrt(2)

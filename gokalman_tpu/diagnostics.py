@@ -333,7 +333,7 @@ def ospa(est_points, est_mask, truth_points, truth_mask, cutoff: float,
     Returns the scalar OSPA (0 when both sets are empty).  vmap over a
     time axis for a per-frame trace.
     """
-    import math as _math
+    import itertools as _it
 
     import numpy as _np
 
@@ -347,7 +347,7 @@ def ospa(est_points, est_mask, truth_points, truth_mask, cutoff: float,
             f"supported (got {m}x{n}) — split larger scenes")
     big = max(m, n)
     perms = jnp.asarray(
-        _np.array(list(__import__("itertools").permutations(range(big)))),
+        _np.array(list(_it.permutations(range(big)))),
         jnp.int32)  # [big!, big]
 
     est_mask = jnp.asarray(est_mask, bool)

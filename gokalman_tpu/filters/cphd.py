@@ -17,16 +17,19 @@ c = 1/V):
 
   predict   intensity: survivors + birth (as PHD)
             ρ⁻ = (binomial ps-thinning of ρ) ⊛ Poisson(μ_birth)
-  update    Ξ_z = PD Σᵢ wᵢ qᵢ(z) / (λc c)          (per-measurement mass)
+  update    Ξ_z = PD Σᵢ wᵢ qᵢ(z) / c(z)          (per-measurement mass)
             Υᵘ(n) = Σⱼ λc^{|Z|−j} · n!/(n−j−u)! · (1−PD)^{n−j−u}
                           · ⟨1,w⟩^{−(j+u)} · eⱼ(Ξ)
             ρ(n) ∝ Υ⁰(n) ρ⁻(n)
             w_miss,i = wᵢ (1−PD) ⟨Υ¹[Z], ρ⁻⟩/⟨Υ⁰[Z], ρ⁻⟩
-            w_det,i(z) = wᵢ PD qᵢ(z)/(λc c) ⟨Υ¹[Z\{z}], ρ⁻⟩/⟨Υ⁰[Z], ρ⁻⟩
+            w_det,i(z) = wᵢ PD qᵢ(z)/c(z) ⟨Υ¹[Z\{z}], ρ⁻⟩/⟨Υ⁰[Z], ρ⁻⟩
 
 (The ⟨1,w⟩ powers inside Υ make the posterior intensity integrate to
-the posterior mean count exactly — verified analytically in the Z=∅
-limit and pinned numerically in tests.)  eⱼ = elementary symmetric
+the posterior mean count exactly — note this identity does NOT pin the
+clutter convention (it is invariant to rescaling Ξ by 1/λc against the
+λc^{|Z|−j} power — a review pass proved the first version exploited
+exactly that blind spot); the cardinality pmf is therefore pinned
+against EXACT brute-force multi-target Bayes in tests.)  eⱼ = elementary symmetric
 functions, computed by the masked polynomial-product recursion, with
 the leave-one-out values recomputed per measurement (m_max is small).
 
@@ -116,26 +119,32 @@ def new(f, g, h, noise: Noise, birth_w, birth_m, birth_p,
 
 
 def _masked_esf(xi, valid):
-    """Elementary symmetric functions e_0..e_M of the VALID entries of
-    xi [M] (invalid entries absent, not zero)."""
+    """Elementary symmetric functions of the VALID entries of xi [M]
+    (invalid entries absent, not zero), returned SCALED: (e_j / s^j,
+    log s) with s = max(xi, 1) — e_j itself is ~xi^j and overflows
+    float32 past xi ~ 6e4 at j = 8 (tight-R / large-volume scenes);
+    the scaled values are bounded by C(M, j)."""
     m = xi.shape[0]
+    s = jnp.maximum(jnp.max(jnp.where(valid, xi, 0.0)), 1.0)
+    xs = xi / s
     e = jnp.zeros((m + 1,), xi.dtype).at[0].set(1.0)
 
     def body(i, e):
         shifted = jnp.concatenate([jnp.zeros((1,), xi.dtype), e[:-1]])
-        return jnp.where(valid[i], e + xi[i] * shifted, e)
+        return jnp.where(valid[i], e + xs[i] * shifted, e)
 
-    return jax.lax.fori_loop(0, m, body, e)
+    return jax.lax.fori_loop(0, m, body, e), jnp.log(s)
 
 
-def _log_upsilon(model: Model, esf_vals, n_valid, log_sum_w, u: int):
+def _log_upsilon(model: Model, esf_scaled, log_scale, n_valid,
+                 log_sum_w, u: int):
     """log Υ^u(n) for n = 0..n_max over the esf of a measurement set
     with n_valid entries (Poisson clutter: (|Z|−j)! p_K(|Z|−j) =
     e^{−λc} λc^{|Z|−j}; the e^{−λc} cancels in every ratio and is
     dropped)."""
-    dt = esf_vals.dtype
+    dt = esf_scaled.dtype
     n_max = model.n_max
-    mmax = esf_vals.shape[0] - 1
+    mmax = esf_scaled.shape[0] - 1
     ns = jnp.arange(n_max + 1, dtype=dt)[:, None]  # [n, 1]
     js = jnp.arange(mmax + 1, dtype=dt)[None, :]  # [1, j]
     log_lam = jnp.log(model.clutter_rate)
@@ -143,7 +152,8 @@ def _log_upsilon(model: Model, esf_vals, n_valid, log_sum_w, u: int):
     expo = ns - js - u  # exponent of (1−PD)
     perm = jax.scipy.special.gammaln(ns + 1.0) - \
         jax.scipy.special.gammaln(jnp.maximum(expo, 0.0) + 1.0)
-    log_e = jnp.log(jnp.maximum(esf_vals, 1e-300))[None, :]
+    log_e = (jnp.log(jnp.maximum(esf_scaled, 1e-300))
+             + jnp.arange(mmax + 1, dtype=dt) * log_scale)[None, :]
     terms = ((n_valid.astype(dt) - js) * log_lam + perm
              + jnp.where(expo > 0, expo * log_1mpd, 0.0)
              - (js + u) * log_sum_w + log_e)
@@ -216,20 +226,29 @@ def step(model: Model, state: State, candidates, cand_mask):
     log_sum_w = jnp.log(sum_w)
     log_mass = jax.scipy.special.logsumexp(
         jnp.log(jnp.maximum(w_pred, 1e-300))[:, None] + log_q, axis=0)
+    # psi_z = PD <w, q_z> / c(z): divide by the clutter spatial pdf
+    # ONLY — Upsilon already carries the lambda_c^(|Z|-j) cardinality
+    # factor; dividing by lambda_c here too double-counts it (verified
+    # against exact brute-force Bayes: the buggy version biased E[n]
+    # low by 0.27 targets at lambda_c=3 while still passing the
+    # mass==mean identity, which is provably blind to this constant).
     log_xi = (jnp.log(model.p_detect) + log_mass
-              - jnp.log(model.clutter_rate) - jnp.log(model.clutter_pdf))
+              - jnp.log(model.clutter_pdf))
     xi = jnp.where(mask, jnp.exp(log_xi), 0.0)  # [m]
-    esf_full = _masked_esf(xi, mask)
+    esf_full, log_s_full = _masked_esf(xi, mask)
     # leave-one-out esf per measurement
     idx = jnp.arange(m_max)
-    esf_loo = jax.vmap(
+    esf_loo, log_s_loo = jax.vmap(
         lambda z: _masked_esf(xi, mask & (idx != z)))(idx)  # [m, m+1]
 
-    ups0 = _log_upsilon(model, esf_full, n_valid, log_sum_w, 0)
-    ups1 = _log_upsilon(model, esf_full, n_valid, log_sum_w, 1)
+    ups0 = _log_upsilon(model, esf_full, log_s_full, n_valid,
+                        log_sum_w, 0)
+    ups1 = _log_upsilon(model, esf_full, log_s_full, n_valid,
+                        log_sum_w, 1)
     # leave-one-out sets have n_valid - 1 measurements
-    ups1_loo = jax.vmap(lambda e: _log_upsilon(
-        model, e, n_valid - 1, log_sum_w, 1))(esf_loo)  # [m, n+1]
+    ups1_loo = jax.vmap(lambda e, lg: _log_upsilon(
+        model, e, lg, n_valid - 1, log_sum_w, 1))(
+            esf_loo, log_s_loo)  # [m, n+1]
 
     log_rho_pred = jnp.log(jnp.maximum(rho_pred, 1e-300))
     log_den = jax.scipy.special.logsumexp(ups0 + log_rho_pred)
@@ -247,7 +266,7 @@ def step(model: Model, state: State, candidates, cand_mask):
     w_miss = w_pred * (1.0 - model.p_detect) * jnp.exp(log_miss_ratio)
     logw_det = (jnp.log(jnp.maximum(w_pred, 1e-300))[:, None]
                 + jnp.log(model.p_detect) + log_q
-                - jnp.log(model.clutter_rate) - jnp.log(model.clutter_pdf)
+                - jnp.log(model.clutter_pdf)
                 + log_det_ratio[None, :])
     w_det = jnp.where(mask[None, :], jnp.exp(logw_det), 0.0)
     m_det = m_pred[:, None, :] + jnp.einsum("inp,imp->imn", k_all, diffs)

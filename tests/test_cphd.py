@@ -105,3 +105,80 @@ def test_cphd_ctor_validation():
                  clutter_rate=0.0)
     with pytest.raises(ValueError):
         cphd.new(f, None, h, gn.noiseless(q, r), bw[:1], bm, bp)
+
+
+def test_cphd_cardinality_is_exact_bayes_on_small_scenes():
+    """The decisive constant pin: posterior cardinality pmf == EXACT
+    brute-force multi-target Bayes for |Z| in {1, 2} (one-component
+    intensity, ps=1, F=I, Q~0, negligible birth).  The mass==mean
+    identity is provably BLIND to the clutter convention (a review
+    pass showed the first version divided Ξ by λc·c instead of c and
+    still satisfied it); this test is not."""
+    import math
+
+    n_dim = 1
+    f = jnp.eye(n_dim)
+    q = 1e-12 * jnp.eye(n_dim)
+    h = jnp.eye(n_dim)
+    r = jnp.asarray([[0.25]])
+    pd, lam_c, vol = 0.7, 3.0, 10.0
+    w0, m0, p0v = 1.3, 0.4, 0.5  # intensity: w0 N(m0, p0v)
+    # Poisson(2) prior cardinality, truncated
+    n_max = 10
+    ns = np.arange(n_max + 1)
+    rho0 = np.exp(-2.0) * 2.0**ns / np.array(
+        [math.factorial(int(k)) for k in ns])
+    rho0 = rho0 / rho0.sum()
+
+    model, state = cphd.new(
+        f, None, h, gn.noiseless(q, r),
+        birth_w=jnp.asarray([1e-30]), birth_m=jnp.zeros((1, n_dim)),
+        birth_p=jnp.eye(n_dim)[None], p_survival=1.0, p_detect=pd,
+        clutter_rate=lam_c, volume=vol, n_max=n_max, j_max=8,
+        trunc=1e-30)
+    state = state._replace(
+        w=state.w.at[0].set(w0),
+        m=state.m.at[0].set(m0),
+        p=state.p.at[0, 0, 0].set(p0v),
+        rho=jnp.asarray(rho0))
+
+    def gauss(z):
+        s = p0v + float(r[0, 0]) + 1e-12
+        return np.exp(-0.5 * (z - m0) ** 2 / s) / np.sqrt(2 * np.pi * s)
+
+    c = 1.0 / vol
+    sbar = lambda z: gauss(z)  # normalized spatial density (single comp)
+
+    # |Z| = 1
+    z1 = 0.5
+    cands = jnp.full((3, 1), 1e6).at[0, 0].set(z1)
+    masks = jnp.asarray([True, False, False])
+    _, est = cphd.step(model, state, cands, masks)
+    lik = (lam_c * c * (1 - pd) ** ns
+           + ns * pd * sbar(z1) * (1 - pd) ** np.maximum(ns - 1, 0)
+           * (ns >= 1))
+    rho_exact = lik * rho0
+    rho_exact = rho_exact / rho_exact.sum()
+    np.testing.assert_allclose(np.asarray(est.cardinality_pmf),
+                               rho_exact, atol=1e-9)
+    # intensity mass == exact posterior mean count
+    np.testing.assert_allclose(float(np.asarray(est.weights).sum()),
+                               float((ns * rho_exact).sum()), rtol=1e-6)
+
+    # |Z| = 2
+    z2 = -0.3
+    cands2 = jnp.full((3, 1), 1e6).at[0, 0].set(z1).at[1, 0].set(z2)
+    masks2 = jnp.asarray([True, True, False])
+    _, est2 = cphd.step(model, state, cands2, masks2)
+    g1, g2 = sbar(z1), sbar(z2)
+    lik2 = (lam_c**2 * c**2 * (1 - pd) ** ns
+            + lam_c * (1 - pd) ** np.maximum(ns - 1, 0) * ns * pd
+            * (c * g1 + c * g2) * (ns >= 1)
+            + ns * np.maximum(ns - 1, 0) * pd**2 * g1 * g2
+            * (1 - pd) ** np.maximum(ns - 2, 0) * (ns >= 2))
+    rho_exact2 = lik2 * rho0
+    rho_exact2 = rho_exact2 / rho_exact2.sum()
+    np.testing.assert_allclose(np.asarray(est2.cardinality_pmf),
+                               rho_exact2, atol=1e-9)
+    np.testing.assert_allclose(float(np.asarray(est2.weights).sum()),
+                               float((ns * rho_exact2).sum()), rtol=1e-6)

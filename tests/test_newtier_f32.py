@@ -154,3 +154,33 @@ def test_iplf_augmented_f32():
     hxa = lambda x, v: hx(x) + v
     _, ea = ukf.run_augmented(um, us, ys, fxa, hxa)
     assert np.isfinite(np.asarray(ea.state)).all()
+
+
+def test_cphd_ospa_f32_dense_scene():
+    """cphd in f32 on a DENSE, tight-R scene: the scaled-esf form must
+    survive where raw elementary symmetric functions overflow float32
+    (xi ~ 1e4-1e5 and e_8 ~ xi^8 >> 3.4e38); ospa f32 trace finite."""
+    from gokalman_tpu.diagnostics import ospa
+    from gokalman_tpu.filters import cphd
+
+    f, q, h, r = _cv4()
+    r_tight = jnp.asarray(1e-4 * np.eye(2), jnp.float32)
+    nz = gn.noiseless(q, r_tight)
+    rng = np.random.default_rng(9)
+    # 8 detections clustered near the birth site every frame
+    T = 10
+    frames = jnp.asarray(rng.normal(0.0, 0.5, (T, 8, 2)), jnp.float32)
+    masks = jnp.ones((T, 8), bool)
+    bm = jnp.zeros((1, 4), jnp.float32)
+    bp = jnp.eye(4, dtype=jnp.float32)[None] * 4.0
+    model, state = cphd.new(f, None, h, nz, jnp.asarray([0.2], jnp.float32),
+                            bm, bp, p_detect=0.9, clutter_rate=2.0,
+                            volume=1e4, n_max=12, j_max=12)
+    _, est = cphd.run(model, state, frames, masks)
+    assert est.cardinality_pmf.dtype == jnp.float32
+    assert np.isfinite(np.asarray(est.cardinality_pmf)).all()
+    assert np.isfinite(np.asarray(est.weights)).all()
+    o = jax.vmap(lambda e, em: ospa(
+        e, em, jnp.zeros((2, 2), jnp.float32), jnp.ones(2, bool), 3.0))(
+            est.states[:, :4, ::2], est.weights[:, :4] > 0.5)
+    assert np.isfinite(np.asarray(o)).all()

@@ -1,0 +1,205 @@
+"""On-chip validation sweep for the round-3 session-2 tier.
+
+Run on the real TPU (no platform override) when the axon tunnel is up:
+
+    timeout 1800 python tools/tpu_validate_new_tier.py
+
+Small shapes (T<=100) keep each compile short on the tunneled backend.
+Covers: studentt, VB-adaptive, quadrature, MEKF+USQUE, JPDA, tracker,
+GM-PHD, GM-CPHD, OSPA, OOSM/fading/correlated, IPLF/augmented UKF,
+two-filter/Kim/EnKS/FFBS smoothers.  Prints one OK line per leg; any
+exception is a real failure.
+"""
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import gokalman_tpu as gk
+from gokalman_tpu.dynamics import attitude as att
+from gokalman_tpu.diagnostics import ospa
+from gokalman_tpu.filters import (adaptive, cphd, enkf, imm, jpda, mekf,
+                                  particle, phd, quadrature, smoothing,
+                                  studentt, tracker, ukf, vanilla)
+
+
+def leg(name):
+    def deco(fn):
+        t0 = time.time()
+        fn()
+        print(f"OK {name} ({time.time() - t0:.1f}s)", flush=True)
+    return deco
+
+
+def main():
+    print("platform:", jax.devices()[0].platform, flush=True)
+    rng = np.random.default_rng(0)
+    dt = 0.1
+    f2 = jnp.asarray([[1.0, dt], [0.0, 1.0]], jnp.float32)
+    h2 = jnp.asarray([[1.0, 0.0]], jnp.float32)
+    q2 = (jnp.asarray([[dt**3 / 3, dt**2 / 2], [dt**2 / 2, dt]],
+                      jnp.float32) * 0.02)
+    r2 = jnp.asarray([[0.5]], jnp.float32)
+    nz2 = gk.noise.noiseless(q2, r2)
+    ys2 = jnp.asarray(rng.standard_normal((80, 1)), jnp.float32)
+    x0, p0 = jnp.zeros(2, jnp.float32), jnp.eye(2, dtype=jnp.float32)
+
+    @leg("studentt")
+    def _():
+        tm, ts = studentt.new(x0, p0, f2, None, h2, nz2, dof=4.0)
+        _, e = jax.jit(lambda y: studentt.run(tm, ts, y))(ys2)
+        assert np.isfinite(np.asarray(e.state)).all()
+
+    @leg("vb-adaptive")
+    def _():
+        m, s, cfg = adaptive.vb_new(x0, p0, f2, None, h2, nz2)
+        _, e = jax.jit(lambda y: adaptive.vb_run(m, s, cfg, y))(ys2)
+        assert np.isfinite(np.asarray(e.r_hat)).all()
+
+    @leg("quadrature+smoother")
+    def _():
+        qm, qs = quadrature.new(x0, p0, nz2, order=3)
+        fx = lambda x: f2 @ x
+        hx = lambda x: h2 @ x
+        _, e = jax.jit(lambda y: quadrature.run(qm, qs, y, fx, hx))(ys2)
+        xs, _ = jax.jit(lambda a, b: quadrature.rts_smoother(qm, a, b, fx))(
+            e.state, e.covariance)
+        assert np.isfinite(np.asarray(xs)).all()
+
+    @leg("mekf+usque")
+    def _():
+        refs = np.array([[1.0, 0, 0], [0, 1.0, 0]], np.float32)
+        m, s = mekf.new(att.quat_identity(jnp.float32),
+                        jnp.eye(6, dtype=jnp.float32) * 1e-2, refs,
+                        1e-4, 1e-6, 1e-3, 0.25)
+        om = jnp.asarray(0.02 * rng.standard_normal((60, 3)), jnp.float32)
+        obs = jnp.asarray(np.tile(refs, (60, 1, 1)), jnp.float32)
+        _, em = jax.jit(lambda a, b: mekf.run(m, s, a, b))(om, obs)
+        _, eu = jax.jit(lambda a, b: mekf.usque_run(m, s, a, b))(om, obs)
+        for e in (em, eu):
+            assert abs(np.linalg.norm(np.asarray(e.q), axis=1) - 1).max() < 1e-4
+
+    f4 = jnp.asarray(np.kron(np.eye(2), np.asarray(f2)), jnp.float32)
+    q4 = jnp.asarray(np.kron(np.eye(2), np.asarray(q2)), jnp.float32) * 0.05
+    h4 = jnp.asarray(np.kron(np.eye(2), np.asarray(h2)), jnp.float32)
+    r4 = 0.04 * jnp.eye(2, dtype=jnp.float32)
+    nz4 = gk.noise.noiseless(q4, r4)
+    frames = jnp.asarray(rng.uniform(-30, 30, (40, 5, 2)), jnp.float32)
+    frames = frames.at[:, 0].set(
+        jnp.asarray(0.2 * rng.standard_normal((40, 2)), jnp.float32))
+    masks = jnp.ones((40, 5), bool)
+
+    @leg("jpda")
+    def _():
+        x0s = jnp.zeros((2, 4), jnp.float32).at[1, 0].set(15.0)
+        m, s = jpda.new(x0s, jnp.eye(4, dtype=jnp.float32), f4, None, h4,
+                        nz4, m_max=5)
+        _, e = jax.jit(lambda fr, ma: jpda.run(m, s, fr, ma))(frames, masks)
+        assert np.isfinite(np.asarray(e.states)).all()
+
+    @leg("tracker")
+    def _():
+        m, s = tracker.new(f4, None, h4, nz4, n_slots=6,
+                           p0_new=jnp.diag(jnp.asarray(
+                               [0.2, 0.25, 0.2, 0.25], jnp.float32)))
+        _, e = jax.jit(lambda fr, ma: tracker.run(m, s, fr, ma))(frames,
+                                                                 masks)
+        assert np.isfinite(np.asarray(e.states)).all()
+
+    bm = jnp.zeros((1, 4), jnp.float32)
+    bp = jnp.eye(4, dtype=jnp.float32)[None] * 4.0
+    bw = jnp.asarray([0.05], jnp.float32)
+
+    @leg("gm-phd")
+    def _():
+        m, s = phd.new(f4, None, h4, nz4, bw, bm, bp, j_max=12)
+        _, e = jax.jit(lambda fr, ma: phd.run(m, s, fr, ma))(frames, masks)
+        assert np.isfinite(np.asarray(e.cardinality)).all()
+
+    @leg("gm-cphd+ospa")
+    def _():
+        m, s = cphd.new(f4, None, h4, nz4, bw, bm, bp, clutter_rate=4.0,
+                        volume=3600.0, n_max=10, j_max=12)
+        _, e = jax.jit(lambda fr, ma: cphd.run(m, s, fr, ma))(frames, masks)
+        assert np.isfinite(np.asarray(e.cardinality_pmf)).all()
+        o = jax.jit(jax.vmap(lambda ee, em: ospa(
+            ee, em, jnp.zeros((2, 2), jnp.float32), jnp.ones(2, bool),
+            3.0)))(e.states[:, :4, ::2], e.weights[:, :4] > 0.5)
+        assert np.isfinite(np.asarray(o)).all()
+
+    @leg("oosm+fading+correlated")
+    def _():
+        vm, vs = vanilla.new(x0, p0, f2, None, h2, nz2)
+        _, ef = jax.jit(lambda y: vanilla.run_fading(vm, vs, y,
+                                                     alpha=1.02))(ys2)
+        sk, ek = vanilla.step(vm, vs, ys2[0])
+        _, eo = vanilla.oosm_update(vm, sk, ek, ys2[1], f2, q2)
+        m_ok = (0.3 * jnp.sqrt(jnp.diag(q2)[:, None] * r2[0, 0])
+                ).astype(jnp.float32)
+        _, ec = jax.jit(lambda y: vanilla.run_correlated(vm, vs, y,
+                                                         m_ok))(ys2)
+        for e in (ef, eo, ec):
+            assert np.isfinite(np.asarray(e.state)).all()
+
+    @leg("iplf+augmented")
+    def _():
+        um, us = ukf.new(jnp.asarray([1.0, 0.5], jnp.float32),
+                         0.4 * jnp.eye(2, dtype=jnp.float32), nz2)
+        fx = lambda x: jnp.stack([x[0] + 0.1 * jnp.sin(x[1]),
+                                  0.95 * x[1]])
+        hx = lambda x: jnp.linalg.norm(x)[None]
+        ys = 1.0 + 0.1 * jnp.asarray(rng.standard_normal((40, 1)),
+                                     jnp.float32)
+        _, ei = jax.jit(lambda y: ukf.run_iplf(um, us, y, fx, hx,
+                                               iters=3))(ys)
+        fxa = lambda x, w: fx(x) + w
+        hxa = lambda x, v: hx(x) + v
+        _, ea = jax.jit(lambda y: ukf.run_augmented(um, us, y, fxa,
+                                                    hxa))(ys)
+        for e in (ei, ea):
+            assert np.isfinite(np.asarray(e.state)).all()
+
+    @leg("smoothers(two-filter,kim,enks,ffbs)")
+    def _():
+        vm, vs = vanilla.new(x0, p0, f2, None, h2, nz2)
+        _, ev = vanilla.run(vm, vs, ys2)
+        phis = jnp.broadcast_to(f2, (80, 2, 2))
+        xs, ps = jax.jit(lambda a, b: smoothing.two_filter_smoother(
+            phis, q2, h2, r2, ys2, a, b))(ev.state, ev.covariance)
+        assert np.isfinite(np.asarray(xs)).all()
+        im, ist = imm.new(x0, p0, [vm, vm],
+                          jnp.asarray([[0.9, 0.1], [0.1, 0.9]],
+                                      jnp.float32))
+        _, ei = jax.jit(lambda y: imm.run(im, ist, y))(ys2)
+        xs2_, _, _ = jax.jit(lambda e: imm.rts_smoother(im, e))(ei)
+        assert np.isfinite(np.asarray(xs2_)).all()
+        key = jax.random.PRNGKey(0)
+        s0 = enkf.new(x0, p0, 64, key=key)
+        nza = gk.noise.awgn(q2, r2)
+        fx, hx = enkf.linear_fns(f2, h2)
+        _, xs3, _ = jax.jit(lambda y: enkf.run_enks(
+            nza, s0, y, fx, hx, lag=3, key=key))(ys2)
+        assert np.isfinite(np.asarray(xs3)).all()
+        prop = particle.additive_dynamics(fx, nza)
+        loglik = particle.gaussian_log_likelihood(hx, nza)
+        qi = 1.0 / float(q2[0, 0])
+
+        def tdens(xn, xp):
+            d = xn - f2 @ xp
+            return -0.5 * (d @ d) * qi
+
+        ps0 = particle.new(x0, p0, 128, key)
+        xs4, _, _, _ = jax.jit(lambda y: particle.run_ffbs(
+            ps0, y, prop, loglik, tdens, key))(ys2[:40])
+        assert np.isfinite(np.asarray(xs4)).all()
+
+    print("TPU-NEW-TIER-VALIDATION-OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -124,3 +124,62 @@ def test_etkf_and_cubature_match_kf_on_random_systems(seed, n, p):
     np.testing.assert_allclose(np.asarray(ue.covariance),
                                np.asarray(ve.covariance), rtol=1e-5,
                                atol=1e-7)
+
+
+@pytest.mark.parametrize("seed,n,p", [(11, 2, 1), (12, 4, 2), (13, 5, 3)])
+def test_linear_tier_variants_agree_on_random_systems(seed, n, p):
+    """Regression fuzz over random stable systems for the newer linear
+    variants: U-D == vanilla, fading(α=1) == vanilla, Student-t(ν→∞)
+    == vanilla, correlated(M=0) == vanilla, and the two-filter smoother
+    == RTS of the vanilla trace."""
+    from gokalman_tpu.filters import smoothing, studentt, udu
+
+    rng = np.random.default_rng(seed)
+    f = np.eye(n) + 0.1 * rng.standard_normal((n, n))
+    f *= 0.95 / max(1.0, np.abs(np.linalg.eigvals(f)).max())
+    h = rng.standard_normal((p, n))
+    q = random_spd(rng, n, 0.05)
+    r = random_spd(rng, p, 0.3)
+    x0 = rng.standard_normal(n)
+    p0 = random_spd(rng, n, 1.0)
+    T = 25
+    ys = jnp.asarray(rng.standard_normal((T, p)))
+    args = (jnp.asarray(x0), jnp.asarray(p0), jnp.asarray(f), None,
+            jnp.asarray(h))
+    nz = gn.noiseless(jnp.asarray(q), jnp.asarray(r))
+
+    vm, vs = vanilla.new(*args, nz)
+    _, ev = vanilla.run(vm, vs, ys)
+
+    um, us = udu.new(*args, nz)
+    _, eu = udu.run(um, us, ys)
+    np.testing.assert_allclose(np.asarray(eu.state), np.asarray(ev.state),
+                               atol=1e-8)
+    np.testing.assert_allclose(np.asarray(eu.covariance),
+                               np.asarray(ev.covariance), atol=1e-8)
+
+    _, ef = vanilla.run_fading(vm, vs, ys, alpha=1.0)
+    np.testing.assert_allclose(np.asarray(ef.state), np.asarray(ev.state),
+                               atol=1e-10)
+
+    tm, ts = studentt.new(*args, nz, dof=1e9)
+    _, et = studentt.run(tm, ts, ys)
+    np.testing.assert_allclose(np.asarray(et.state), np.asarray(ev.state),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(et.covariance),
+                               np.asarray(ev.covariance), atol=1e-6)
+
+    _, ec = vanilla.run_correlated(vm, vs, ys, jnp.zeros((n, p)))
+    np.testing.assert_allclose(np.asarray(ec.state), np.asarray(ev.state),
+                               atol=1e-10)
+
+    phis = jnp.broadcast_to(jnp.asarray(f), (T, n, n))
+    x_r, p_r = smoothing.rts_smoother(phis, jnp.asarray(q), ev.state,
+                                      ev.covariance)
+    x_2, p_2 = smoothing.two_filter_smoother(
+        phis, jnp.asarray(q), jnp.asarray(h), jnp.asarray(r), ys,
+        ev.state, ev.covariance)
+    np.testing.assert_allclose(np.asarray(x_2), np.asarray(x_r),
+                               rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(p_2), np.asarray(p_r),
+                               rtol=1e-5, atol=1e-8)

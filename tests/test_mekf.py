@@ -327,3 +327,45 @@ def test_usque_beats_mekf_at_large_initial_error():
     assert errs_u[1000] < 0.7 * errs_m[1000], (errs_u[1000], errs_m[1000])
     assert errs_u[-1] < 3.0, errs_u[-1]
     assert errs_m[-1] < 4.0, errs_m[-1]
+
+
+# ----------------------- rigid-body dynamics -------------------------
+
+
+def test_torque_free_rigid_body_conserves_invariants():
+    """Torque-free tumble of an asymmetric body (intermediate-axis
+    territory): inertial angular momentum A(q)ᵀ I ω and kinetic energy
+    ½ωᵀIω must be conserved through the coupled RK4 propagation."""
+    inertia = jnp.diag(jnp.asarray([1.0, 2.0, 3.0]))
+    q = att.quat_identity()
+    w = jnp.asarray([0.02, 0.5, 0.01])  # near the intermediate axis
+    h0 = np.asarray(att.attitude_matrix(q)).T @ np.asarray(inertia @ w)
+    e0 = float(0.5 * w @ inertia @ w)
+    qs, ws = q, w
+    for _ in range(200):
+        qs, ws = att.propagate_rigid_body(qs, ws, inertia, 0.05, n_sub=4)
+    h1 = np.asarray(att.attitude_matrix(qs)).T @ np.asarray(inertia @ ws)
+    e1 = float(0.5 * ws @ inertia @ ws)
+    # the q-w coupling is trapezoidal (2nd order): momentum drifts
+    # O(h^3)/step — measured 3.5e-6 relative over 800 substeps
+    np.testing.assert_allclose(h1, h0, rtol=1e-4)
+    np.testing.assert_allclose(e1, e0, rtol=1e-8)
+    np.testing.assert_allclose(float(jnp.linalg.norm(qs)), 1.0,
+                               atol=1e-10)
+    # the tumble actually happened (intermediate-axis flip territory)
+    assert float(att.attitude_error_angle(qs, q)) > 0.5
+
+
+def test_rigid_body_constant_torque_spins_up():
+    """Constant torque about a principal axis: ω grows linearly as
+    τ/I·t for a spin about that axis (no gyroscopic coupling)."""
+    inertia = jnp.diag(jnp.asarray([1.0, 2.0, 3.0]))
+    q = att.quat_identity()
+    w = jnp.asarray([0.0, 0.0, 0.1])
+    tau = jnp.asarray([0.0, 0.0, 0.03])
+    t_total, dt = 10.0, 0.1
+    for _ in range(int(t_total / dt)):
+        q, w = att.propagate_rigid_body(q, w, inertia, dt, torque=tau)
+    np.testing.assert_allclose(float(w[2]), 0.1 + 0.03 / 3.0 * t_total,
+                               rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(w[:2]), 0.0, atol=1e-12)

@@ -318,3 +318,102 @@ def test_imm_smoother_beats_filter_on_switching_truth():
                                              np.mean(rms_f))
     assert np.mean(acc_s) > np.mean(acc_f) + 0.05, (np.mean(acc_s),
                                                     np.mean(acc_f))
+
+
+def test_immpdaf_identical_modes_equals_pdaf():
+    from gokalman_tpu.filters import pdaf
+
+    model = _cv_model(0.01)
+    x0 = jnp.array([0.1, -0.3])
+    p0 = 2.0 * jnp.eye(2)
+    rng = np.random.default_rng(0)
+    T = 25
+    cands = jnp.asarray(rng.uniform(-3, 3, (T, 4, 1)))
+    masks = jnp.asarray(rng.random((T, 4)) < 0.8)
+    im, ist = imm.new(x0, p0, [model, model],
+                      trans=jnp.array([[0.9, 0.1], [0.1, 0.9]]))
+    _, ei = imm.run_pdaf(im, ist, cands, masks, pd=0.85,
+                         clutter_density=0.3, gate=16.0)
+    pm, ps = pdaf.new(x0, p0, model.f, None, model.h, model.noise,
+                      pd=0.85, clutter_density=0.3, gate=16.0)
+    _, ep = pdaf.run(pm, ps, cands, masks)
+    np.testing.assert_allclose(np.asarray(ei.state), np.asarray(ep.state),
+                               atol=1e-9)
+    np.testing.assert_allclose(np.asarray(ei.covariance),
+                               np.asarray(ep.covariance), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(ei.mode_probs), 0.5, atol=1e-9)
+
+
+def test_immpdaf_single_candidate_high_pd_is_imm():
+    """One always-valid candidate, PD ~ 1, tiny clutter, huge gate: the
+    association is certain and the IMM-PDAF == the plain IMM run on the
+    same measurements (up to the tiny beta_0 residual)."""
+    quiet = _cv_model(1e-3)
+    agile = _cv_model(1.0)
+    x0, p0 = jnp.array([0.0, 0.4]), jnp.eye(2)
+    rng = np.random.default_rng(2)
+    T = 30
+    ys = jnp.asarray(rng.standard_normal((T, 1)))
+    trans = jnp.array([[0.95, 0.05], [0.05, 0.95]])
+    im, ist = imm.new(x0, p0, [quiet, agile], trans)
+    _, e_plain = imm.run(im, ist, ys)
+    cands = ys[:, None, :]  # [T, 1, 1]
+    masks = jnp.ones((T, 1), bool)
+    _, e_pdaf = imm.run_pdaf(im, ist, cands, masks, pd=1.0 - 1e-9,
+                             clutter_density=1e-12, gate=1e9)
+    np.testing.assert_allclose(np.asarray(e_pdaf.state),
+                               np.asarray(e_plain.state), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(e_pdaf.mode_probs),
+                               np.asarray(e_plain.mode_probs), atol=1e-4)
+
+
+def test_immpdaf_maneuver_in_clutter_beats_single_model_pdaf():
+    """Quiet/agile bank on a maneuvering target with 4 clutter points
+    per frame: the IMM-PDAF must identify the maneuver AND beat the
+    quiet-only PDAF on RMS."""
+    from gokalman_tpu.filters import pdaf
+
+    quiet = _cv_model(1e-3)
+    agile = _cv_model(1.0)
+    fn = np.asarray(quiet.f)
+    lq = np.linalg.cholesky(np.asarray(quiet.noise.q) + 1e-15 * np.eye(2))
+    la = np.linalg.cholesky(np.asarray(agile.noise.q))
+    rms_i, rms_p, acc = [], [], []
+    for seed in range(4):
+        rng = np.random.default_rng(30 + seed)
+        T = 70
+        x = np.array([0.0, 0.3])
+        xs, frames, masks, modes = [], [], [], []
+        for k in range(T):
+            agile_now = 30 <= k < 50
+            L = la if agile_now else lq
+            x = fn @ x + L @ rng.standard_normal(2)
+            xs.append(x.copy())
+            modes.append(agile_now)
+            dets = [x[0] + 0.3 * rng.standard_normal()]
+            while len(dets) < 5:
+                dets.append(x[0] + rng.uniform(-6, 6))
+            rng.shuffle(dets)
+            frames.append(np.array(dets)[:, None])
+            masks.append([True] * 5)
+        truth = np.stack(xs)
+        frames = jnp.asarray(np.stack(frames))
+        masks = jnp.asarray(np.array(masks))
+        trans = jnp.array([[0.95, 0.05], [0.05, 0.95]])
+        im, ist = imm.new(jnp.array([0.0, 0.3]), jnp.eye(2),
+                          [quiet, agile], trans)
+        _, ei = imm.run_pdaf(im, ist, frames, masks, pd=0.95,
+                             clutter_density=4 / 12.0, gate=16.0)
+        pm, ps = pdaf.new(jnp.array([0.0, 0.3]), jnp.eye(2), quiet.f,
+                          None, quiet.h, quiet.noise, pd=0.95,
+                          clutter_density=4 / 12.0, gate=16.0)
+        _, ep = pdaf.run(pm, ps, frames, masks)
+        rms_i.append(np.sqrt(((np.asarray(ei.state)[:, 0]
+                               - truth[:, 0]) ** 2).mean()))
+        rms_p.append(np.sqrt(((np.asarray(ep.state)[:, 0]
+                               - truth[:, 0]) ** 2).mean()))
+        acc.append(((np.asarray(ei.mode_probs)[:, 1] > 0.5)
+                    == np.array(modes)).mean())
+    assert np.mean(rms_i) < np.mean(rms_p), (np.mean(rms_i),
+                                             np.mean(rms_p))
+    assert np.mean(acc) > 0.7, np.mean(acc)

@@ -184,3 +184,42 @@ def test_cphd_ospa_f32_dense_scene():
         e, em, jnp.zeros((2, 2), jnp.float32), jnp.ones(2, bool), 3.0))(
             est.states[:, :4, ::2], est.weights[:, :4] > 0.5)
     assert np.isfinite(np.asarray(o)).all()
+
+
+def test_immpdaf_rigidbody_f32():
+    from gokalman_tpu.dynamics import attitude as att32
+    from gokalman_tpu.filters import imm, vanilla
+
+    dt = 0.5
+    f = jnp.asarray([[1.0, dt], [0.0, 1.0]], jnp.float32)
+    h = jnp.asarray([[1.0, 0.0]], jnp.float32)
+    qb = jnp.asarray([[dt**3 / 3, dt**2 / 2], [dt**2 / 2, dt]],
+                     jnp.float32)
+    r = jnp.asarray([[0.09]], jnp.float32)
+
+    def mk(qs):
+        return vanilla.new(jnp.zeros(2, jnp.float32),
+                           jnp.eye(2, dtype=jnp.float32), f, None, h,
+                           gn.noiseless(qs * qb, r))[0]
+
+    im, ist = imm.new(jnp.zeros(2, jnp.float32),
+                      jnp.eye(2, dtype=jnp.float32),
+                      [mk(1e-3), mk(1.0)],
+                      jnp.asarray([[0.95, 0.05], [0.05, 0.95]],
+                                  jnp.float32))
+    rng = np.random.default_rng(4)
+    frames = jnp.asarray(rng.uniform(-5, 5, (20, 4, 1)), jnp.float32)
+    masks = jnp.ones((20, 4), bool)
+    _, est = imm.run_pdaf(im, ist, frames, masks, 0.9, 0.3, 16.0)
+    assert est.state.dtype == jnp.float32
+    assert np.isfinite(np.asarray(est.state)).all()
+    assert np.allclose(np.asarray(est.mode_probs).sum(axis=1), 1.0,
+                       atol=1e-5)
+
+    inertia = jnp.diag(jnp.asarray([1.0, 2.0, 3.0], jnp.float32))
+    q = att32.quat_identity(jnp.float32)
+    w = jnp.asarray([0.02, 0.5, 0.01], jnp.float32)
+    for _ in range(20):
+        q, w = att32.propagate_rigid_body(q, w, inertia, 0.05, n_sub=2)
+    assert q.dtype == jnp.float32
+    np.testing.assert_allclose(float(jnp.linalg.norm(q)), 1.0, atol=1e-5)

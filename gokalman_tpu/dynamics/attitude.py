@@ -26,6 +26,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from .. import linalg
+
 
 def quat_identity(dtype=None):
     return jnp.array([0.0, 0.0, 0.0, 1.0], dtype=dtype)
@@ -158,22 +160,25 @@ def attitude_error_angle(q_est, q_true):
 
 def euler_rates(inertia, omega, torque=None):
     """Euler's rigid-body equations: ω̇ = I⁻¹(τ − ω × I ω) in the body
-    frame (Markley & Crassidis eq. 3.81).  `inertia` [3,3] body inertia
-    matrix; `torque` [3] body torque (None = torque-free)."""
+    frame (Markley & Crassidis eq. 3.81).  `inertia` [3,3] SPD body
+    inertia matrix; `torque` [3] body torque (None = torque-free).
+    Cholesky solve (TPU x64 has no LU — the repo-wide convention)."""
     h = inertia @ omega
     rhs = -jnp.cross(omega, h)
     if torque is not None:
         rhs = rhs + torque
-    return jnp.linalg.solve(inertia, rhs)
+    return linalg.solve_psd(inertia, rhs)
 
 
+@linalg.highp
 def propagate_rigid_body(q, omega, inertia, dt, torque=None, n_sub: int = 1):
     """One rigid-body step: RK4 on the coupled (quaternion, body-rate)
     state — ω through Euler's equations, q through the exact rotation
     exponential at the RK4-averaged rate.  `n_sub` substeps refine the
     rate coupling for large dt·ω.  Torque-free motion conserves the
     INERTIAL angular momentum A(q)ᵀ I ω and the rotational kinetic
-    energy ½ωᵀIω (pinned in tests)."""
+    energy ½ωᵀIω (pinned in tests) — under linalg.highp, since at the
+    TPU's default bf16 matmul pass those invariants cannot hold."""
     h = dt / n_sub
 
     def substep(carry, _):

@@ -384,8 +384,6 @@ def step_pdaf(model: Model, state: State, candidates, cand_mask,
     `candidates` [m_max, p] padded detections + `cand_mask` [m_max];
     pd/clutter_density/gate as in pdaf.new.
     """
-    import math as _math
-
     from . import pdaf as _pdaf
 
     eps = jnp.asarray(1e-30, state.mu.dtype)
@@ -399,28 +397,12 @@ def step_pdaf(model: Model, state: State, candidates, cand_mask,
         pmodel = _pdaf.Model(mode_model, pd, lam, gate)
         st, est = _pdaf.step(pmodel, _pdaf.State(x, p, state.k),
                              candidates, cand_mask, control)
-        # association likelihood of the frame under this mode:
-        # (1 - PD) + (PD/λ) Σ_i N(ν_i; 0, S) over gated candidates —
-        # recomputed from the estimate's per-candidate betas is not
-        # possible (they are normalized), so rebuild from the geometry.
-        h = mode_model.h
-        s = h @ est.pred_covariance @ h.T + mode_model.noise.r
-        x_pred = est.state - est.gain @ est.innovation
-        nus = jnp.asarray(candidates) - x_pred @ h.T
-        sinv_nus = linalg.solve_psd(s, nus.T).T
-        d2 = jnp.sum(nus * sinv_nus, axis=1)
-        valid = jnp.asarray(cand_mask, bool) & (d2 <= gate)
-        _, logdet = jnp.linalg.slogdet(s)
-        p_dim = h.shape[0]
-        log_norm = -0.5 * (logdet + p_dim * jnp.log(
-            jnp.asarray(2 * _math.pi, dt)))
-        log_li = jnp.where(valid,
-                           jnp.log(pd) - jnp.log(lam) + log_norm
-                           - 0.5 * d2, -jnp.inf)
-        log_b0 = jnp.log(jnp.maximum(1.0 - pd, eps))
-        ll = jax.scipy.special.logsumexp(
-            jnp.concatenate([log_b0[None], log_li]))
-        return st, est, ll
+        # association evidence computed ONCE inside pdaf.step from the
+        # same gating/S the update used (Estimate.log_evidence) — a
+        # review pass caught the first version rebuilding the geometry
+        # from est.state - K@innovation, the exact cancellation-prone
+        # recovery imm.step's masked path documents against.
+        return st, est, est.log_evidence
 
     sts, ests, lls = jax.vmap(mode_step)(model.modes, xs_mix, ps_mix)
     mu, log_norm = _mode_posterior(c, lls, eps)

@@ -58,6 +58,11 @@ class Estimate(NamedTuple):
     beta0: jax.Array  # [] posterior prob that NO candidate was the target
     betas: jax.Array  # [m_max] per-candidate association probabilities
     n_gated: jax.Array  # [] candidates surviving the gate
+    # log association evidence log[(1-PD) + (PD/λ)Σ N(ν;0,S)] — what a
+    # mode-bank consumer (imm.step_pdaf) weighs modes by; exported here
+    # so it is computed ONCE from the same gating/S the update used.
+    log_evidence: jax.Array = None
+    pred_state: jax.Array = None  # [n] x̄ (measurement-independent)
 
     def within_nsigma(self, n_sigma) -> jax.Array:
         return linalg.is_within_nsigma(self.state, self.covariance, n_sigma)
@@ -138,6 +143,8 @@ def step(model: Model, state: State, candidates, cand_mask, control=None):
         beta0=jnp.where(none, jnp.asarray(1.0, dt), beta0),
         betas=jnp.where(none, jnp.zeros_like(betas), betas),
         n_gated=n_gated,
+        log_evidence=log_z,
+        pred_state=x_pred,
     )
     return State(x, p_new, state.k + 1), est
 

@@ -5,9 +5,9 @@ Run on the real TPU (no platform override) when the axon tunnel is up:
     timeout 1800 python tools/tpu_validate_new_tier.py
 
 Small shapes (T<=100) keep each compile short on the tunneled backend.
-Covers: studentt, VB-adaptive, quadrature, MEKF+USQUE, JPDA, tracker,
-GM-PHD, GM-CPHD, OSPA, OOSM/fading/correlated, IPLF/augmented UKF,
-two-filter/Kim/EnKS/FFBS smoothers.  Prints one OK line per leg; any
+Covers: studentt, VB-adaptive, quadrature, MEKF+USQUE, JPDA, IMM-PDAF,
+tracker, GM-PHD, GM-CPHD, OSPA, OOSM/fading/correlated, IPLF/augmented
+UKF, rigid-body dynamics, two-filter/Kim/EnKS/FFBS smoothers.  Prints one OK line per leg; any
 exception is a real failure.
 """
 
@@ -102,6 +102,34 @@ def main():
         _, e = jax.jit(lambda fr, ma: jpda.run(m, s, fr, ma))(frames, masks)
         assert np.isfinite(np.asarray(e.states)).all()
 
+    @leg("imm-pdaf")
+    def _():
+        def mk(qs):
+            return vanilla.new(x0, p0, f2, None, h2,
+                               gk.noise.noiseless(qs * q2, r2))[0]
+        im, ist = imm.new(x0, p0, [mk(1.0), mk(100.0)],
+                          jnp.asarray([[0.95, 0.05], [0.05, 0.95]],
+                                      jnp.float32))
+        fr1 = jnp.asarray(rng.uniform(-5, 5, (30, 4, 1)), jnp.float32)
+        ma1 = jnp.ones((30, 4), bool)
+        _, e = jax.jit(lambda fr, ma: imm.run_pdaf(
+            im, ist, fr, ma, 0.9, 0.3, 16.0))(fr1, ma1)
+        assert np.isfinite(np.asarray(e.state)).all()
+
+    @leg("rigid-body")
+    def _():
+        inertia = jnp.diag(jnp.asarray([1.0, 2.0, 3.0], jnp.float32))
+        qq = att.quat_identity(jnp.float32)
+        ww = jnp.asarray([0.02, 0.5, 0.01], jnp.float32)
+        step_j = jax.jit(lambda a, b: att.propagate_rigid_body(
+            a, b, inertia, 0.05, n_sub=4))
+        for _i in range(20):
+            qq, ww = step_j(qq, ww)
+        assert abs(float(jnp.linalg.norm(qq)) - 1.0) < 1e-4
+        h0 = np.asarray(att.attitude_matrix(qq)).T @ np.asarray(
+            inertia @ ww)
+        assert np.isfinite(h0).all()
+
     @leg("tracker")
     def _():
         m, s = tracker.new(f4, None, h4, nz4, n_slots=6,
@@ -187,11 +215,15 @@ def main():
         assert np.isfinite(np.asarray(xs3)).all()
         prop = particle.additive_dynamics(fx, nza)
         loglik = particle.gaussian_log_likelihood(hx, nza)
-        qi = 1.0 / float(q2[0, 0])
+        # transition density of the ACTUAL sampler N(f x, Q):
+        # whiten through chol(Q) (Q is strongly correlated — an
+        # isotropic stand-in biases the backward reweights)
+        lq_c = jnp.linalg.cholesky(q2)
 
         def tdens(xn, xp):
-            d = xn - f2 @ xp
-            return -0.5 * (d @ d) * qi
+            e = jax.scipy.linalg.solve_triangular(
+                lq_c, xn - f2 @ xp, lower=True)
+            return -0.5 * (e @ e)
 
         ps0 = particle.new(x0, p0, 128, key)
         xs4, _, _, _ = jax.jit(lambda y: particle.run_ffbs(

@@ -53,6 +53,8 @@ class Model(NamedTuple):
     birth_p: jax.Array  # [Jb, n, n]
     j_max: int  # static mixture cap
     trunc: float  # static truncation threshold on weights
+    adaptive_birth_w: float  # static: per-measurement birth weight (0 = off)
+    h_pinv: jax.Array  # [n, p] measurement pseudo-inverse (birth seed)
 
 
 class State(NamedTuple):
@@ -72,11 +74,19 @@ class Estimate(NamedTuple):
 
 def new(f, g, h, noise: Noise, birth_w, birth_m, birth_p,
         p_survival: float = 0.99, p_detect: float = 0.9,
-        clutter: float = 1e-3, j_max: int = 32, trunc: float = 1e-5):
+        clutter: float = 1e-3, j_max: int = 32, trunc: float = 1e-5,
+        adaptive_birth_w: float = 0.0):
     """Build (Model, State) with an EMPTY initial intensity.  The birth
-    mixture (weights/means/covs, [Jb]-stacked) is injected every frame
+    mixture (weights/covs/means, [Jb]-stacked) is injected every frame
     — put components where targets appear (sensor horizon, runway,
-    launch sites) with birth_w = expected births/frame per component."""
+    launch sites) with birth_w = expected births/frame per component.
+
+    `adaptive_birth_w` > 0 additionally births a component AT EVERY
+    VALID MEASUREMENT (mean = pinv(H) z, covariance = birth_p[0]) with
+    that weight — the standard measurement-driven birth for targets
+    appearing at UNKNOWN locations (where a fixed birth mixture never
+    acquires; pinned in tests).  Count it toward the clutter rate when
+    tuning: each clutter point also births a (short-lived) component."""
     birth_m = jnp.asarray(birth_m)
     birth_p = jnp.asarray(birth_p)
     birth_w = jnp.asarray(birth_w)
@@ -90,7 +100,9 @@ def new(f, g, h, noise: Noise, birth_w, birth_m, birth_p,
     dt = birth_m.dtype
     model = Model(kf_model, jnp.asarray(p_survival, dt),
                   jnp.asarray(p_detect, dt), jnp.asarray(clutter, dt),
-                  birth_w, birth_m, birth_p, int(j_max), float(trunc))
+                  birth_w, birth_m, birth_p, int(j_max), float(trunc),
+                  float(adaptive_birth_w),
+                  jnp.linalg.pinv(kf_model.h).astype(dt))
     state = State(jnp.zeros((j_max,), dt),
                   jnp.zeros((j_max, n), dt),
                   jnp.broadcast_to(jnp.eye(n, dtype=dt), (j_max, n, n)),
@@ -106,7 +118,7 @@ def step(model: Model, state: State, candidates, cand_mask):
     n = state.m.shape[1]
     m_max, p_dim = jnp.asarray(candidates).shape
 
-    # ---- prediction: survivors + births
+    # ---- prediction: survivors + births (+ measurement-driven births)
     w_pred = jnp.concatenate([model.p_survival * state.w, model.birth_w])
     m_surv = state.m @ kf.f.T
     p_surv = jnp.einsum("ij,kjl,ml->kim", kf.f, state.p, kf.f) \
@@ -154,6 +166,23 @@ def step(model: Model, state: State, candidates, cand_mask):
     p_all = jnp.concatenate(
         [p_pred, jnp.broadcast_to(p_upd[:, None], (jp, m_max, n, n))
          .reshape(jp * m_max, n, n)], axis=0)
+    if model.adaptive_birth_w > 0.0:
+        # Measurement-driven births join AFTER the update (the Ristic
+        # 2012 convention): a component born from this frame's z must
+        # NOT be updated by that same z — same-frame confirmation gives
+        # every CLUTTER point an instant ~0.5-weight component
+        # (measured: 3.1 expected targets for a 1-target scene before
+        # this ordering fix).  Next frame's detections confirm or kill.
+        mask_f = jnp.asarray(cand_mask, dt)
+        zb = jnp.where(jnp.asarray(cand_mask, bool)[:, None],
+                       jnp.asarray(candidates), 0.0)
+        m_ab = zb @ model.h_pinv.T  # [m_max, n]
+        w_ab = model.adaptive_birth_w * mask_f
+        p_ab = jnp.broadcast_to(model.birth_p[0],
+                                (m_max,) + model.birth_p[0].shape)
+        w_all = jnp.concatenate([w_all, w_ab])
+        m_all = jnp.concatenate([m_all, m_ab], axis=0)
+        p_all = jnp.concatenate([p_all, p_ab], axis=0)
 
     # ---- truncate, merge back to j_max, restore the total weight
     w_all = jnp.where(w_all > model.trunc, w_all, 0.0)

@@ -65,6 +65,8 @@ class Model(NamedTuple):
     n_max: int  # static cardinality support cap
     j_max: int  # static mixture cap
     trunc: float
+    adaptive_birth_w: float  # static: per-measurement birth weight (0 = off)
+    h_pinv: jax.Array  # [n, p]
 
 
 class State(NamedTuple):
@@ -87,10 +89,18 @@ class Estimate(NamedTuple):
 def new(f, g, h, noise: Noise, birth_w, birth_m, birth_p,
         p_survival: float = 0.99, p_detect: float = 0.9,
         clutter_rate: float = 1.0, volume: float = 1.0,
-        n_max: int = 16, j_max: int = 32, trunc: float = 1e-5):
+        n_max: int = 16, j_max: int = 32, trunc: float = 1e-5,
+        adaptive_birth_w: float = 0.0):
     """Build (Model, State) with an empty intensity and ρ = δ₀.
     `clutter_rate` is λc (expected clutter per frame, MUST be > 0);
-    `volume` the surveillance volume (uniform clutter density 1/V)."""
+    `volume` the surveillance volume (uniform clutter density 1/V).
+
+    `adaptive_birth_w` > 0 births a component at every valid detection
+    AFTER the update (the phd.py convention/ordering) — and, unlike the
+    plain PHD, the cardinality pmf is simultaneously convolved with the
+    matching Poisson(w·|Z|) so the intensity-mass == mean-count
+    identity KEEPS holding (independent Poisson birth adds in intensity
+    and convolves in cardinality; pinned in tests)."""
     if not clutter_rate > 0:
         raise ValueError("CPHD needs clutter_rate > 0 (the update "
                          "divides by the clutter intensity)")
@@ -110,7 +120,8 @@ def new(f, g, h, noise: Noise, birth_w, birth_m, birth_p,
                   jnp.asarray(clutter_rate, dt),
                   jnp.asarray(1.0 / volume, dt),
                   birth_w, birth_m, birth_p, int(n_max), int(j_max),
-                  float(trunc))
+                  float(trunc), float(adaptive_birth_w),
+                  jnp.linalg.pinv(kf_model.h).astype(dt))
     rho0 = jnp.zeros((n_max + 1,), dt).at[0].set(1.0)
     state = State(jnp.zeros((j_max,), dt), jnp.zeros((j_max, n), dt),
                   jnp.broadcast_to(jnp.eye(n, dtype=dt), (j_max, n, n)),
@@ -276,6 +287,24 @@ def step(model: Model, state: State, candidates, cand_mask):
     p_all = jnp.concatenate(
         [p_pred, jnp.broadcast_to(p_upd[:, None], (jp, m_max, n, n))
          .reshape(jp * m_max, n, n)], axis=0)
+    if model.adaptive_birth_w > 0.0:
+        # post-update measurement-driven births (phd.py ordering), with
+        # the cardinality pmf convolved by the matching Poisson so the
+        # intensity-mass == mean-count identity survives
+        mask_f = mask.astype(dt)
+        zb = jnp.where(mask[:, None], jnp.asarray(candidates), 0.0)
+        m_ab = zb @ model.h_pinv.T
+        w_ab = model.adaptive_birth_w * mask_f
+        p_ab = jnp.broadcast_to(model.birth_p[0],
+                                (m_max,) + model.birth_p[0].shape)
+        w_all = jnp.concatenate([w_all, w_ab])
+        m_all = jnp.concatenate([m_all, m_ab], axis=0)
+        p_all = jnp.concatenate([p_all, p_ab], axis=0)
+        mu_ab = jnp.sum(w_ab)
+        log_pab = (-mu_ab + ls * jnp.log(jnp.maximum(mu_ab, 1e-300))
+                   - jax.scipy.special.gammaln(ls + 1.0))
+        rho = jnp.convolve(rho, jnp.exp(log_pab))[:nmax + 1]
+        rho = rho / jnp.maximum(jnp.sum(rho), 1e-300)
 
     # ---- truncate + merge back to j_max (total weight restored)
     w_all = jnp.where(w_all > model.trunc, w_all, 0.0)

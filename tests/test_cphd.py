@@ -182,3 +182,40 @@ def test_cphd_cardinality_is_exact_bayes_on_small_scenes():
                                rho_exact2, atol=1e-9)
     np.testing.assert_allclose(float(np.asarray(est2.weights).sum()),
                                float((ns * rho_exact2).sum()), rtol=1e-6)
+
+
+def test_cphd_adaptive_birth_acquires_and_stays_consistent():
+    """Adaptive birth on the CPHD: acquires a target at an unknown
+    location, AND the intensity-mass == mean-count identity still holds
+    (the birth convolves the cardinality pmf by the matching Poisson)."""
+    f, q, h, r = _cv_system()
+    fn, hn = np.asarray(f), np.asarray(h)
+    rng = np.random.default_rng(33)
+    T = 40
+    x = np.array([30.0, 0.05, -25.0, 0.05])
+    frames = []
+    for k in range(T):
+        x = fn @ x
+        dets = [hn @ x + 0.2 * rng.standard_normal(2)]
+        while len(dets) < 4:
+            dets.append(rng.uniform(-50, 50, 2))
+        rng.shuffle(dets)
+        frames.append(np.stack(dets))
+    frames = jnp.asarray(np.stack(frames))
+    masks = jnp.ones((T, 4), bool)
+    bm = jnp.asarray([[0.0, 0.0, 0.0, 0.0]])
+    bp = jnp.broadcast_to(jnp.diag(jnp.asarray([4.0, 0.25, 4.0, 0.25])),
+                          (1, 4, 4))
+    model, state = cphd.new(f, None, h, gn.noiseless(q, r),
+                            jnp.asarray([0.02]), bm, bp, p_detect=0.95,
+                            clutter_rate=4.0, volume=10000.0, n_max=12,
+                            j_max=20, adaptive_birth_w=0.02)
+    _, est = cphd.run(model, state, frames, masks)
+    cm = np.asarray(est.cardinality_mean)
+    assert 0.7 < cm[10:].mean() < 1.6, cm[10:].mean()
+    assert (np.asarray(est.cardinality_map)[10:] == 1).mean() > 0.8
+    d = np.linalg.norm(np.asarray(est.states)[-1, 0, ::2] - x[::2])
+    assert d < 0.6, d
+    # identity: intensity mass == mean count (truncation slack)
+    sum_w = np.asarray(est.weights).sum(axis=1)
+    np.testing.assert_allclose(sum_w[5:], cm[5:], rtol=0.08, atol=0.08)

@@ -1,0 +1,246 @@
+"""PMB (TOMB/P) pins: BP marginals exact on trees and near-exact vs
+enumeration on small loopy graphs, exact KF agreement for the isolated
+single-target limit, label identity through a crossing, PHD-scenario
+cardinality windows, pure-clutter rejection, and existence decay on
+empty frames."""
+
+import itertools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gokalman_tpu import noise as gn
+from gokalman_tpu.filters import pmb, vanilla
+
+from test_phd import _birth, _cv_system, _scenario
+
+
+def _exact_matching_marginals(psi):
+    """Brute-force matching marginals for a [ni, nj] psi table: sum
+    over all one-to-one partial matchings with weight prod psi."""
+    ni, nj = psi.shape
+    p = np.zeros((ni, nj + 1))
+    q0 = np.zeros(nj)
+    total = 0.0
+    cols = list(range(nj))
+    for k in range(min(ni, nj) + 1):
+        for rows in itertools.combinations(range(ni), k):
+            for perm in itertools.permutations(cols, k):
+                w = np.prod([psi[i, j] for i, j in zip(rows, perm)]) \
+                    if k else 1.0
+                total += w
+                for i, j in zip(rows, perm):
+                    p[i, j + 1] += w
+                unmatched = set(cols) - set(perm)
+                for j in unmatched:
+                    q0[j] += w
+    p[:, 0] = total - p[:, 1:].sum(axis=1)
+    return p / total, q0 / total
+
+
+def test_bp_exact_on_trees():
+    # single track x m measurements (a star graph -> BP is exact)
+    psi = jnp.asarray([[0.5, 2.0, 0.1]])
+    p, q0 = pmb.bp_marginals(psi, 30)
+    pe, q0e = _exact_matching_marginals(np.asarray(psi))
+    np.testing.assert_allclose(np.asarray(p), pe, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(q0), q0e, atol=1e-12)
+    # m tracks x single measurement
+    psi = jnp.asarray([[0.7], [1.4], [0.2]])
+    p, q0 = pmb.bp_marginals(psi, 30)
+    pe, q0e = _exact_matching_marginals(np.asarray(psi))
+    np.testing.assert_allclose(np.asarray(p), pe, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(q0), q0e, atol=1e-12)
+
+
+def test_bp_near_exact_on_loopy_2x2_and_3x3():
+    rng = np.random.default_rng(3)
+    for shape in [(2, 2), (3, 3), (3, 2)]:
+        psi = rng.uniform(0.1, 2.0, shape)
+        p, q0 = pmb.bp_marginals(jnp.asarray(psi), 100)
+        pe, q0e = _exact_matching_marginals(psi)
+        np.testing.assert_allclose(np.asarray(p), pe, atol=0.05)
+        np.testing.assert_allclose(np.asarray(q0), q0e, atol=0.05)
+
+
+def test_pmb_isolated_target_equals_kf():
+    """PD=1, zero clutter, one measurement per frame: frame 0 spawns a
+    track with r=1 from the (single-component) birth PPP — exactly the
+    birth-prior Kalman update — and every later frame is a pure KF
+    step.  The whole trajectory must match vanilla digit-for-digit."""
+    f, q, h, r = _cv_system()
+    fn, hn = np.asarray(f), np.asarray(h)
+    rng = np.random.default_rng(5)
+    T = 30
+    x = np.array([-5.0, 0.1, -5.0, 0.1])
+    zs, xs_true = [], []
+    for _ in range(T):
+        x = fn @ x
+        xs_true.append(x.copy())
+        zs.append(hn @ x + 0.2 * rng.standard_normal(2))
+    frames = jnp.asarray(np.stack(zs))[:, None, :]
+    masks = jnp.ones((T, 1), bool)
+    bm = jnp.asarray([[-5.0, 0.1, -5.0, 0.1]])
+    bp = jnp.broadcast_to(jnp.diag(jnp.asarray([4.0, 0.25, 4.0, 0.25])),
+                          (1, 4, 4))
+    model, state = pmb.new(f, None, h, gn.noiseless(q, r),
+                           jnp.asarray([0.05]), bm, bp,
+                           p_survival=1.0, p_detect=1.0, clutter=0.0,
+                           j_max=4, t_max=4)
+    _, est = pmb.run(model, state, frames, masks)
+    assert float(est.existence[0, 0]) > 0.999
+    assert float(est.existence[-1, 0]) > 0.999
+    # frame 0 acquires by updating the UNPREDICTED birth prior (births
+    # are injected post-propagation); compute that posterior by hand
+    # and let vanilla (predict-then-update) carry frames 1..T-1
+    bm0, bp0, hn_ = np.asarray(bm[0]), np.asarray(bp[0]), np.asarray(h)
+    s0 = hn_ @ bp0 @ hn_.T + np.asarray(r)
+    k0 = bp0 @ hn_.T @ np.linalg.inv(s0)
+    m0 = bm0 + k0 @ (np.asarray(zs[0]) - hn_ @ bm0)
+    ikh = np.eye(4) - k0 @ hn_
+    p0 = ikh @ bp0 @ ikh.T + k0 @ np.asarray(r) @ k0.T
+    np.testing.assert_allclose(np.asarray(est.states[0, 0, :]), m0,
+                               atol=1e-8)
+    km, ks = vanilla.new(jnp.asarray(m0), jnp.asarray(p0), f, None, h,
+                         gn.noiseless(q, r))
+    _, kest = vanilla.run(km, ks, frames[1:, 0, :])
+    np.testing.assert_allclose(np.asarray(est.states[1:, 0, :]),
+                               np.asarray(kest.state), rtol=0, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(est.covariances[1:, 0]),
+                               np.asarray(kest.covariance), atol=1e-8)
+    # the label never changes: born at frame 1, measurement 0
+    labs = np.asarray(est.labels[:, 0, :])
+    assert (labs == labs[0]).all(), labs
+
+
+def test_pmb_phd_scenario_cardinality_and_localization():
+    f, q, h, r, frames, masks, ta, tb = _scenario()
+    bw, bm, bp = _birth()
+    model, state = pmb.new(f, None, h, gn.noiseless(q, r), bw, bm, bp,
+                           p_survival=0.99, p_detect=0.95,
+                           clutter=5 / 10000.0, j_max=16, t_max=8)
+    _, est = pmb.run(model, state, frames, masks)
+    nt = np.asarray(est.n_targets)
+    assert 0.7 < nt[8:18].mean() < 1.4, nt[8:18].mean()
+    assert 1.6 < nt[30:44].mean() < 2.4, nt[30:44].mean()
+    assert 0.6 < nt[60:].mean() < 1.4, nt[60:].mean()
+    # Bernoulli existence alone (no PPP mass) confirms the count
+    assert (np.asarray(est.n_confirmed)[30:44] == 2).mean() > 0.85
+    for k in (35, 40):
+        tops = np.asarray(est.states[k, :2, ::2])
+        truths = np.stack([ta[k][::2], tb[k][::2]])
+        d = np.linalg.norm(tops[None, :, :] - truths[:, None, :], axis=2)
+        assert d.min(axis=1).max() < 0.6, d
+
+
+def test_pmb_labels_survive_a_crossing():
+    """Two targets cross mid-scene; the track nearest each truth must
+    carry the SAME label before and after the crossing — the capability
+    the PHD/CPHD tier structurally lacks."""
+    f, q, h, r = _cv_system()
+    fn, hn = np.asarray(f), np.asarray(h)
+    rng = np.random.default_rng(11)
+    T = 70
+    a = np.array([-8.0, 0.25, -8.0, 0.22])
+    b = np.array([8.0, -0.25, 8.0, -0.22])
+    frames, ta, tb = [], [], []
+    for k in range(T):
+        a, b = fn @ a, fn @ b
+        ta.append(a.copy())
+        tb.append(b.copy())
+        dets = [hn @ a + 0.15 * rng.standard_normal(2),
+                hn @ b + 0.15 * rng.standard_normal(2)]
+        while len(dets) < 4:
+            dets.append(rng.uniform(-40, 40, 2))
+        rng.shuffle(dets)
+        frames.append(np.stack(dets))
+    frames = jnp.asarray(np.stack(frames))
+    masks = jnp.ones((T, 4), bool)
+    ta, tb = np.stack(ta), np.stack(tb)
+    bm = jnp.asarray([[-8.0, 0.0, -8.0, 0.0], [8.0, 0.0, 8.0, 0.0]])
+    bp = jnp.broadcast_to(jnp.diag(jnp.asarray([4.0, 0.25, 4.0, 0.25])),
+                          (2, 4, 4))
+    model, state = pmb.new(f, None, h, gn.noiseless(q, r),
+                           jnp.asarray([0.03, 0.03]), bm, bp,
+                           p_survival=0.99, p_detect=0.95,
+                           clutter=4 / 6400.0, j_max=16, t_max=8)
+    _, est = pmb.run(model, state, frames, masks)
+    states = np.asarray(est.states)
+    labels = np.asarray(est.labels)
+    exist = np.asarray(est.existence)
+
+    def label_near(k, truth):
+        d = np.linalg.norm(states[k, :, ::2] - truth[k][::2][None],
+                           axis=1)
+        d = np.where(exist[k] > 0.5, d, np.inf)
+        return tuple(labels[k, int(np.argmin(d))])
+
+    la_pre, lb_pre = label_near(20, ta), label_near(20, tb)
+    assert la_pre != lb_pre
+    for k in (55, 60, 69):  # well after the crossing (~frame 32)
+        assert label_near(k, ta) == la_pre, (k, label_near(k, ta), la_pre)
+        assert label_near(k, tb) == lb_pre, (k, label_near(k, tb), lb_pre)
+
+
+def test_pmb_pure_clutter_stays_empty():
+    f, q, h, r = _cv_system()
+    bw, bm, bp = _birth()
+    rng = np.random.default_rng(7)
+    T = 50
+    frames = jnp.asarray(rng.uniform(-50, 50, (T, 5, 2)))
+    masks = jnp.ones((T, 5), bool)
+    model, state = pmb.new(f, None, h, gn.noiseless(q, r), bw, bm, bp,
+                           p_survival=0.99, p_detect=0.95,
+                           clutter=5 / 10000.0, j_max=16, t_max=8)
+    _, est = pmb.run(model, state, frames, masks)
+    assert np.asarray(est.n_targets).mean() < 0.3
+    # a lone transient confirmation (consecutive clutter in a birth
+    # gate) is legitimate; it must be rare and die immediately
+    assert (np.asarray(est.n_confirmed) == 0).mean() > 0.95
+
+
+def test_pmb_empty_frames_decay_existence():
+    """With no detections, the miss-hypothesis posterior
+    r' = ps r (1-PD) / (1 - ps r PD) applies each frame — existence
+    decays monotonically and the pinned closed form matches."""
+    f, q, h, r = _cv_system()
+    bm = jnp.asarray([[0.0, 0.0, 0.0, 0.0]])
+    bp = jnp.broadcast_to(jnp.diag(jnp.asarray([4.0, 0.25, 4.0, 0.25])),
+                          (1, 4, 4))
+    model, state = pmb.new(f, None, h, gn.noiseless(q, r),
+                           jnp.asarray([0.02]), bm, bp,
+                           p_survival=0.98, p_detect=0.9, clutter=1e-4,
+                           j_max=4, t_max=4)
+    # plant a confirmed track by hand
+    state = state._replace(
+        r=state.r.at[0].set(0.95),
+        labels=state.labels.at[0].set(
+            jnp.asarray([1, 0], jnp.int32)))
+    T = 6
+    frames = jnp.zeros((T, 3, 2))
+    masks = jnp.zeros((T, 3), bool)
+    _, est = pmb.run(model, state, frames, masks)
+    rs = np.asarray(est.existence[:, 0])
+    alive = rs > 0
+    assert (np.diff(rs)[alive[1:]] < 0).all(), rs
+    r_expect = 0.95
+    for k in range(T):
+        rp = 0.98 * r_expect
+        r_expect = rp * 0.1 / (1.0 - rp * 0.9)
+        if r_expect <= 1e-3:  # r_prune zeroes the slot from here on
+            np.testing.assert_allclose(rs[k:], 0.0)
+            break
+        np.testing.assert_allclose(rs[k], r_expect, rtol=1e-9)
+
+
+def test_pmb_ctor_validation():
+    import pytest
+
+    f, q, h, r = _cv_system()
+    bw, bm, bp = _birth()
+    with pytest.raises(ValueError):
+        pmb.new(f, None, h, gn.noiseless(q, r), bw, bm[:, :2][:, None],
+                bp)
+    with pytest.raises(ValueError):
+        pmb.new(f, None, h, gn.noiseless(q, r), bw, bm, bp, j_max=1)

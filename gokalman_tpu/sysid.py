@@ -191,3 +191,124 @@ def em_fit(
     final_ll = vanilla.innovations_log_likelihood(fitted_model, ests)
     return EMResult(fitted_model, fitted_state,
                     jnp.concatenate([lls, final_ll[None]]))
+
+
+class N4SIDResult(NamedTuple):
+    f: jax.Array  # [n, n] identified A (arbitrary state basis)
+    g: jax.Array  # [n, m] identified B (zeros-shaped [n, 0] if no input)
+    h: jax.Array  # [p, n] identified C
+    d: jax.Array  # [p, m] identified D
+    q: jax.Array  # [n, n] process-noise covariance
+    r: jax.Array  # [p, p] measurement-noise covariance
+    s: jax.Array  # [n, p] process/measurement cross-covariance
+    singular_values: jax.Array  # [horizon * p] projection SVs (order pick)
+    states: jax.Array  # [j, n] estimated state sequence (windows i..)
+
+
+def _block_hankel(z: jax.Array, i: int, j: int) -> jax.Array:
+    """[T, d] signal -> [i*d, j] block Hankel; column t stacks
+    z[t], z[t+1], ..., z[t+i-1]."""
+    d = z.shape[1]
+    rows = jnp.stack([jax.lax.dynamic_slice_in_dim(z, k, j) for k in range(i)])
+    return rows.transpose(0, 2, 1).reshape(i * d, j)
+
+
+def _regress(y: jax.Array, z: jax.Array) -> jax.Array:
+    """Least-squares row-space regression L = Y Zt (Z Zt)^-1 with a
+    relative ridge (deterministic or collinear regressor blocks make
+    Z Zt singular; the ridge only touches the projected-out nullspace)."""
+    gram = z @ z.T
+    lam = 1e-10 * (jnp.trace(gram) / gram.shape[0] + 1.0)
+    gram = gram + lam * jnp.eye(gram.shape[0], dtype=gram.dtype)
+    return linalg.solve_psd(gram, (y @ z.T).T).T
+
+
+@linalg.highp
+def n4sid_fit(measurements, controls=None, order: int = 2,
+              horizon: int = 10) -> N4SIDResult:
+    """Subspace identification (N4SID, Van Overschee & De Moor 1994):
+    a NON-ITERATIVE complement to `em_fit` — no initial model, no local
+    optima, one shot of dense linear algebra (Hankel regressions + one
+    SVD), which is exactly the shape the MXU likes.
+
+    Combined deterministic-stochastic algorithm via regressions:
+    the oblique projection O_i = Y_f /_{U_f} W_p is computed by
+    regressing Y_f jointly on [W_p; U_f] and keeping the W_p part; the
+    SVD of O_i gives the extended observability matrix (its singular
+    values expose the order — inspect `singular_values` when `order` is
+    unknown); Kalman state sequences X_i, X_{i+1} come from the
+    Moore-Penrose split, and one final least squares over
+    [X_{i+1}; Y_i] = [[A,B],[C,D]] [X_i; U_i] + residual yields the
+    system matrices with (Q, S, R) from the residual covariance.
+
+    The identified (A, B, C, D) sit in an ARBITRARY state basis:
+    compare eigenvalues / transfer functions / innovations likelihood,
+    not raw matrix entries.  `em_fit` on the N4SID output is the
+    standard polish step.  Use `vanilla.run_correlated` (S != 0) or
+    drop S for a plain model.
+
+    Stochastic-only identification: pass controls=None — the projection
+    degenerates to the orthogonal projection of Y_f onto Y_p (CVA-style
+    stochastic subspace ID).
+    """
+    y = jnp.asarray(measurements)
+    if y.ndim != 2:
+        raise ValueError(f"measurements must be [T, p] (got {y.shape})")
+    t, p = y.shape
+    i = int(horizon)
+    n = int(order)
+    j = t - 2 * i + 1
+    if n > i * p:
+        raise ValueError(f"order {n} exceeds horizon*p = {i * p}; raise horizon")
+    if j < i * (2 * p + 2) + n:
+        raise ValueError(
+            f"T={t} too short for horizon {i} (needs well over {2 * i} "
+            "samples; shrink horizon or bring more data)")
+    u = None if controls is None else jnp.asarray(controls)
+    m = 0 if u is None else u.shape[1]
+
+    yh = _block_hankel(y, 2 * i, j)
+    y_p, y_f = yh[: i * p], yh[i * p:]
+    y_pp = yh[: (i + 1) * p]        # past extended by one block row
+    y_fm = yh[(i + 1) * p:]         # future shifted by one block row
+    if u is not None:
+        uh = _block_hankel(u, 2 * i, j)
+        u_p, u_f = uh[: i * m], uh[i * m:]
+        u_pp, u_fm = uh[: (i + 1) * m], uh[(i + 1) * m:]
+        w_p = jnp.concatenate([u_p, y_p])
+        w_pp = jnp.concatenate([u_pp, y_pp])
+        l_full = _regress(y_f, jnp.concatenate([w_p, u_f]))
+        o_i = l_full[:, : w_p.shape[0]] @ w_p
+        l_m = _regress(y_fm, jnp.concatenate([w_pp, u_fm]))
+        o_im = l_m[:, : w_pp.shape[0]] @ w_pp
+    else:
+        o_i = _regress(y_f, y_p) @ y_p
+        o_im = _regress(y_fm, y_pp) @ y_pp
+
+    uu, sv, _ = jnp.linalg.svd(o_i, full_matrices=False)
+    gam = uu[:, :n] * jnp.sqrt(sv[:n])[None, :]      # [i*p, n]
+    gam_m = gam[: (i - 1) * p]                       # drop last block row
+    x_i = _regress(o_i.T, gam.T).T                   # pinv(gam) @ o_i
+    x_ip = _regress(o_im.T, gam_m.T).T               # [n, j]
+
+    y_ii = yh[i * p: (i + 1) * p]                    # Y_i|i, [p, j]
+    lhs = jnp.concatenate([x_ip, y_ii])              # [n + p, j]
+    if u is not None:
+        u_ii = uh[i * m: (i + 1) * m]
+        rhs = jnp.concatenate([x_i, u_ii])           # [n + m, j]
+    else:
+        rhs = x_i
+    theta = _regress(lhs, rhs)                       # [n+p, n(+m)]
+    a_id, c_id = theta[:n, :n], theta[n:, :n]
+    if u is not None:
+        b_id, d_id = theta[:n, n:], theta[n:, n:]
+    else:
+        b_id = jnp.zeros((n, 0), y.dtype)
+        d_id = jnp.zeros((p, 0), y.dtype)
+    resid = lhs - theta @ rhs
+    cov = (resid @ resid.T) / j
+    q_id = linalg.sym(cov[:n, :n])
+    r_id = linalg.sym(cov[n:, n:])
+    s_id = cov[:n, n:]
+    return N4SIDResult(a_id, b_id, c_id, d_id, q_id, r_id, s_id, sv,
+                       x_i.T)

@@ -19,6 +19,13 @@ asserted:
    its mean is 6x steadier than the PHD's, and the per-frame OSPA
    (`diagnostics.ospa`) against truth stays near the measurement
    noise floor.
+5. IDENTITY, done properly -> `pmb`: one Bernoulli per track with a
+   posterior existence probability and a lifetime label — each target
+   keeps a single label from acquisition to death, existence snaps
+   up on acquisition and decays cleanly after death, and track-based
+   extraction drives OSPA well under the CPHD's (0.15 vs 0.63 here).
+   (The tracker's M/N counters approximate this; the PHD/CPHD can't
+   represent it at all.)
 
 Run: env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu python examples/tracking.py
 """
@@ -37,7 +44,8 @@ import numpy as np
 
 from gokalman_tpu import noise as gn
 from gokalman_tpu.diagnostics import ospa
-from gokalman_tpu.filters import cphd, jpda, pdaf, phd, tracker, vanilla
+from gokalman_tpu.filters import (cphd, jpda, pdaf, phd, pmb, tracker,
+                                  vanilla)
 
 DT = 1.0
 
@@ -241,8 +249,76 @@ def act_four_rfs():
     print("all claims verified.")
 
 
+def act_five_pmb():
+    """Act-3 scene through the PMB: lifetime labels + existence."""
+    rng = np.random.default_rng(3)
+    f, q, h, r = cv_system(q_scale=1e-3)
+    fn, hn = np.asarray(f), np.asarray(h)
+    T = 80
+    a = np.array([-5.0, 0.12, -5.0, 0.10])
+    b = np.array([5.0, -0.10, 5.0, -0.08])
+    frames, truth, tmask = [], np.zeros((T, 2, 2)), np.zeros((T, 2), bool)
+    for k in range(T):
+        a, b = fn @ a, fn @ b
+        truth[k, 0], truth[k, 1] = a[::2], b[::2]
+        dets = []
+        if k < 45:
+            tmask[k, 0] = True
+            if rng.random() < 0.95:
+                dets.append(hn @ a + 0.1414 * rng.standard_normal(2))
+        if k >= 20:
+            tmask[k, 1] = True
+            if rng.random() < 0.95:
+                dets.append(hn @ b + 0.1414 * rng.standard_normal(2))
+        while len(dets) < 5:
+            dets.append(rng.uniform(-50, 50, 2))
+        rng.shuffle(dets)
+        frames.append(np.stack(dets))
+    frames = jnp.asarray(np.stack(frames))
+    masks = jnp.ones((T, 5), bool)
+    bm = jnp.asarray([[-5.0, 0.0, -5.0, 0.0], [5.0, 0.0, 5.0, 0.0]])
+    bp = jnp.broadcast_to(
+        jnp.diag(jnp.asarray([4.0, 0.25, 4.0, 0.25])), (2, 4, 4))
+    model, state = pmb.new(f, None, h, gn.noiseless(q, r),
+                           jnp.asarray([0.03, 0.03]), bm, bp,
+                           p_survival=0.99, p_detect=0.95,
+                           clutter=5 / 10000.0, j_max=16, t_max=8)
+    _, est = pmb.run(model, state, frames, masks)
+    exist = np.asarray(est.existence)
+    states = np.asarray(est.states)
+    labels = np.asarray(est.labels)
+    nconf = np.asarray(est.n_confirmed)
+
+    def label_near(k, t):
+        d = np.linalg.norm(states[k, :, ::2] - truth[k, t][None], axis=1)
+        d = np.where(exist[k] > 0.5, d, np.inf)
+        return tuple(labels[k, int(np.argmin(d))])
+
+    la = {label_near(k, 0) for k in range(6, 44)}
+    lb = {label_near(k, 1) for k in range(26, 79)}
+    o = jax.vmap(lambda e, em, t, tm: ospa(e, em, t, tm, 5.0))(
+        est.states[:, :4, ::2], est.existence[:, :4] > 0.5,
+        jnp.asarray(truth), jnp.asarray(tmask))
+    o_mid = float(np.asarray(o)[30:44].mean())
+    # existence of the A-track after A dies at k=45
+    slot_a = [i for i in range(8)
+              if tuple(labels[40, i]) in la and exist[40, i] > 0.5][0]
+    r_after = exist[52, slot_a] if tuple(
+        labels[52, slot_a]) in la else 0.0
+    print(f"act 5 (identity):  A label {la}, B label {lb}; "
+          f"counts k=6:{nconf[6]} k=28:{nconf[28]} k=60+max:"
+          f"{nconf[60:].max()}; A existence k=52: {r_after:.3f}; "
+          f"mid-arc OSPA {o_mid:.2f}")
+    assert len(la) == 1 and len(lb) == 1 and la != lb, (la, lb)
+    assert nconf[6] == 1 and nconf[28] == 2 and nconf[60:].max() == 1
+    assert r_after < 0.5, r_after  # existence decayed post-death
+    assert o_mid < 1.0, o_mid
+    print("all claims verified.")
+
+
 if __name__ == "__main__":
     act_one_pdaf()
     act_two_jpda()
     act_three_tracker()
     act_four_rfs()
+    act_five_pmb()

@@ -21,11 +21,13 @@ import jax.numpy as jnp
 import numpy as np
 
 import gokalman_tpu as gk
+from gokalman_tpu import sysid
 from gokalman_tpu.dynamics import attitude as att
 from gokalman_tpu.diagnostics import ospa
 from gokalman_tpu.filters import (adaptive, cphd, enkf, imm, jpda, mekf,
-                                  particle, phd, quadrature, smoothing,
-                                  studentt, tracker, ukf, vanilla)
+                                  particle, phd, pmb, quadrature,
+                                  smoothing, studentt, tracker, ukf,
+                                  vanilla)
 
 
 def leg(name):
@@ -229,6 +231,27 @@ def main():
         xs4, _, _, _ = jax.jit(lambda y: particle.run_ffbs(
             ps0, y, prop, loglik, tdens, key))(ys2[:40])
         assert np.isfinite(np.asarray(xs4)).all()
+
+    @leg("pmb")
+    def _():
+        m, s = pmb.new(f4, None, h4, nz4, bw, bm, bp, j_max=8, t_max=6)
+        _, e = jax.jit(lambda fr, ma: pmb.run(m, s, fr, ma))(frames, masks)
+        assert np.isfinite(np.asarray(e.existence)).all()
+        assert float(e.existence[-1, 0]) > 0.5  # planted target acquired
+
+    @leg("n4sid")
+    def _():
+        xs = np.zeros(2)
+        fn = np.asarray(f2)
+        ys = []
+        for _i in range(800):
+            xs = fn @ xs + 0.05 * rng.standard_normal(2)
+            ys.append(xs[0] + 0.2 * rng.standard_normal())
+        res = sysid.n4sid_fit(jnp.asarray(np.asarray(ys),
+                                          jnp.float32)[:, None],
+                              order=2, horizon=8)
+        assert np.isfinite(np.asarray(res.f)).all()
+        assert np.abs(np.linalg.eigvals(np.asarray(res.f))).max() < 1.1
 
     print("TPU-NEW-TIER-VALIDATION-OK", flush=True)
 

@@ -58,6 +58,7 @@ import jax.numpy as jnp
 from .. import linalg
 from ..noise import Noise
 from . import gsf, vanilla
+from .imm import _moment_match
 
 
 class Model(NamedTuple):
@@ -94,7 +95,10 @@ class Estimate(NamedTuple):
     covariances: jax.Array  # [t_max, n, n]
     labels: jax.Array  # [t_max, 2] sorted with their tracks
     n_confirmed: jax.Array  # [] tracks with r > 0.5
-    assoc: jax.Array  # [t_max, m_max + 1] BP marginals (col 0 = miss)
+    # BP marginals (col 0 = miss), PERMUTED to match the sorted track
+    # rows above; a track born this frame gets a one-hot row at its
+    # birth measurement.
+    assoc: jax.Array  # [t_max, m_max + 1]
 
 
 def new(f, g, h, noise: Noise, birth_w, birth_m, birth_p,
@@ -163,13 +167,9 @@ def bp_marginals(psi, iters: int):
 
 
 def _mixture_moments(w, means, covs):
-    """Moment-match a mixture with weights `w` [M] (already normalized),
-    means [M, n], covs [M, n, n]."""
-    mu = jnp.einsum("m,mn->n", w, means)
-    d = means - mu[None, :]
-    cov = jnp.einsum("m,mij->ij", w, covs) \
-        + jnp.einsum("m,mi,mj->ij", w, d, d)
-    return mu, linalg.sym(cov)
+    """Moment-match a mixture with weights `w` [M] (already
+    normalized): imm's helper with the pmb argument order."""
+    return _moment_match(means, covs, w)
 
 
 @linalg.highp
@@ -297,9 +297,13 @@ def step(model: Model, state: State, candidates, cand_mask):
     m_all = jnp.concatenate([m_upd, m_new], axis=0)
     p_all = jnp.concatenate([p_upd, p_new], axis=0)
     lab_all = jnp.concatenate([state.labels, lab_new], axis=0)
+    assoc_new = jnp.concatenate(
+        [jnp.zeros((m_max, 1), dt), jnp.eye(m_max, dtype=dt)], axis=1)
+    assoc_all = jnp.concatenate([assoc, assoc_new], axis=0)
     order = jnp.argsort(-r_all)[:model.t_max]
     r_k, m_k, p_k = r_all[order], m_all[order], p_all[order]
     lab_k = jnp.where((r_k > 0)[:, None], lab_all[order], -1)
+    assoc_k = assoc_all[order]
 
     new_state = State(ppp_w, ppp_m, ppp_p, r_k, m_k, p_k, lab_k,
                       state.k + 1)
@@ -310,7 +314,7 @@ def step(model: Model, state: State, candidates, cand_mask):
         covariances=p_k,
         labels=lab_k,
         n_confirmed=jnp.sum((r_k > 0.5).astype(jnp.int32)),
-        assoc=assoc,
+        assoc=assoc_k,
     )
     return new_state, est
 

@@ -216,9 +216,15 @@ def _block_hankel(z: jax.Array, i: int, j: int) -> jax.Array:
 def _regress(y: jax.Array, z: jax.Array) -> jax.Array:
     """Least-squares row-space regression L = Y Zt (Z Zt)^-1 with a
     relative ridge (deterministic or collinear regressor blocks make
-    Z Zt singular; the ridge only touches the projected-out nullspace)."""
+    Z Zt singular; the ridge only touches the projected-out nullspace).
+
+    The ridge scales with the dtype's eps: a fixed 1e-10 sits far
+    below f32 machine epsilon, so the singular gram's own rounding
+    noise (~eps * scale) dwarfs it and cholesky NaNs (measured on a
+    noise-free f32 system)."""
     gram = z @ z.T
-    lam = 1e-10 * (jnp.trace(gram) / gram.shape[0] + 1.0)
+    rel = jnp.maximum(1e-10, 100.0 * jnp.finfo(gram.dtype).eps)
+    lam = rel * (jnp.trace(gram) / gram.shape[0] + 1.0)
     gram = gram + lam * jnp.eye(gram.shape[0], dtype=gram.dtype)
     return linalg.solve_psd(gram, (y @ z.T).T).T
 
@@ -244,8 +250,15 @@ def n4sid_fit(measurements, controls=None, order: int = 2,
     The identified (A, B, C, D) sit in an ARBITRARY state basis:
     compare eigenvalues / transfer functions / innovations likelihood,
     not raw matrix entries.  `em_fit` on the N4SID output is the
-    standard polish step.  Use `vanilla.run_correlated` (S != 0) or
-    drop S for a plain model.
+    standard polish step.  TIMING NOTE on `s`: the residual pairing
+    here is s = E[w_k v_k^T] with y_k = C x_k + v_k and
+    x_{k+1} = A x_k + w_k — the cross term between a measurement and
+    the process noise generating the NEXT state.  That is NOT the M
+    that `vanilla.run_correlated` consumes (its M = E[w_k v_{k+1}^T]
+    pairs the noise driving a prediction with the measurement
+    assimilated right after it — one step off).  For a plain
+    `vanilla.Model`, drop s; it is exported for innovations-form /
+    spectral-factorization use.
 
     Stochastic-only identification: pass controls=None — the projection
     degenerates to the orthogonal projection of Y_f onto Y_p (CVA-style
@@ -258,14 +271,19 @@ def n4sid_fit(measurements, controls=None, order: int = 2,
     i = int(horizon)
     n = int(order)
     j = t - 2 * i + 1
-    if n > i * p:
-        raise ValueError(f"order {n} exceeds horizon*p = {i * p}; raise horizon")
-    if j < i * (2 * p + 2) + n:
-        raise ValueError(
-            f"T={t} too short for horizon {i} (needs well over {2 * i} "
-            "samples; shrink horizon or bring more data)")
     u = None if controls is None else jnp.asarray(controls)
     m = 0 if u is None else u.shape[1]
+    # the shifted observability split drops one block row, so the
+    # state regression needs rank n from (i-1) block rows (measured:
+    # order == horizon*p passes the naive check and returns garbage)
+    if n > (i - 1) * p:
+        raise ValueError(
+            f"order {n} exceeds (horizon-1)*p = {(i - 1) * p}; raise horizon")
+    if j < i * (2 * p + 2 * m + 2) + n:
+        raise ValueError(
+            f"T={t} too short for horizon {i} with {m} inputs (needs "
+            f"well over {i * (2 * p + 2 * m + 2)} regression columns; "
+            "shrink horizon or bring more data)")
 
     yh = _block_hankel(y, 2 * i, j)
     y_p, y_f = yh[: i * p], yh[i * p:]

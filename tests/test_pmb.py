@@ -244,3 +244,33 @@ def test_pmb_ctor_validation():
                 bp)
     with pytest.raises(ValueError):
         pmb.new(f, None, h, gn.noiseless(q, r), bw, bm, bp, j_max=1)
+
+
+def test_pmb_assoc_rows_follow_the_sorted_tracks():
+    """Regression (review find): Estimate.assoc must be permuted with
+    the existence sort like every other per-track field.  Frame 0's
+    track is NEW (one-hot at its birth measurement); later frames show
+    the BP detection marginal ~1 at the only measurement."""
+    f, q, h, r = _cv_system()
+    bm = jnp.asarray([[-5.0, 0.1, -5.0, 0.1]])
+    bp = jnp.broadcast_to(jnp.diag(jnp.asarray([4.0, 0.25, 4.0, 0.25])),
+                          (1, 4, 4))
+    fn, hn = np.asarray(f), np.asarray(h)
+    rng = np.random.default_rng(5)
+    x = np.array([-5.0, 0.1, -5.0, 0.1])
+    zs = []
+    for _ in range(10):
+        x = fn @ x
+        zs.append(hn @ x + 0.2 * rng.standard_normal(2))
+    frames = jnp.asarray(np.stack(zs))[:, None, :]
+    masks = jnp.ones((10, 1), bool)
+    model, state = pmb.new(f, None, h, gn.noiseless(q, r),
+                           jnp.asarray([0.05]), bm, bp,
+                           p_survival=1.0, p_detect=1.0, clutter=0.0,
+                           j_max=4, t_max=4)
+    _, est = pmb.run(model, state, frames, masks)
+    assoc = np.asarray(est.assoc)
+    np.testing.assert_allclose(assoc[0, 0], [0.0, 1.0], atol=1e-12)
+    np.testing.assert_allclose(assoc[1:, 0, 1], 1.0, atol=1e-6)
+    # empty slots: miss-only rows travel with their (empty) tracks
+    assert (np.asarray(est.existence)[:, 1:] == 0).all()

@@ -295,3 +295,37 @@ def test_n4sid_validation():
         sysid.n4sid_fit(jnp.zeros((30, 1)), order=2, horizon=10)
     with pytest.raises(ValueError):
         sysid.n4sid_fit(jnp.zeros((100,)), order=2)
+
+
+def test_n4sid_f32_deterministic_data_stays_finite():
+    """Regression (review find): the regression ridge must scale with
+    the dtype's eps — a noise-free f32 system made the singular gram's
+    rounding noise dwarf a fixed 1e-10 ridge and cholesky NaN'd."""
+    f = np.array([[0.9, 0.2], [0.0, 0.7]])
+    h = np.array([[1.0, 0.5]])
+    x = np.array([1.0, -1.0])
+    ys = []
+    for _ in range(600):
+        x = f @ x
+        ys.append(h @ x)
+        if np.abs(x).max() < 1e-6:
+            x = np.array([1.0, -1.0])  # re-kick the decaying system
+    res = sysid.n4sid_fit(jnp.asarray(np.stack(ys), jnp.float32),
+                          order=2, horizon=6)
+    assert np.isfinite(np.asarray(res.f)).all()
+    assert np.isfinite(np.asarray(res.states)).all()
+
+
+def test_n4sid_order_boundary_raises():
+    """Regression (review find, measured): order == horizon*p used to
+    pass validation but the shifted observability split only has
+    (horizon-1)*p rows — eigenvalue error 0.94 with no diagnostic."""
+    import pytest
+
+    ys = jnp.asarray(np.random.default_rng(0).standard_normal((500, 1)))
+    with pytest.raises(ValueError, match="horizon-1"):
+        sysid.n4sid_fit(ys, order=4, horizon=4)
+    # and the control dimension counts toward the data-length bound
+    with pytest.raises(ValueError, match="too short"):
+        sysid.n4sid_fit(jnp.zeros((65, 1)), controls=jnp.zeros((65, 5)),
+                        order=2, horizon=10)

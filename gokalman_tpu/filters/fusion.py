@@ -1,0 +1,130 @@
+"""Multi-sensor track-to-track fusion: covariance intersection and
+association tests.
+
+The tracking tier (pdaf/jpda/tracker/pmb) turns detection frames into
+tracks per sensor; a surveillance NETWORK then has to decide which
+tracks from different sensors are the same object and fuse them.  The
+textbook product rule (`fuse_independent`) is only valid when the two
+estimates' errors are independent — never true for tracks that share
+process noise (same target!) or prior information.  Fusing as if
+independent double-counts shared information and yields an overconfident
+covariance (pinned in tests).
+
+Covariance intersection (Julier & Uhlmann 1997) is the standard fix
+when the cross-covariance is UNKNOWN: fuse in information space with a
+convex weight,
+
+    P_f^-1 = w Pa^-1 + (1-w) Pb^-1,
+    x_f    = P_f (w Pa^-1 xa + (1-w) Pb^-1 xb),
+
+which is CONSISTENT (P_f upper-bounds the true fused-error covariance)
+for EVERY feasible cross-covariance — the Julier-Uhlmann theorem,
+pinned here over random joint covariances.  The price is conservatism:
+with Pa == Pb, CI returns P (no claimed information gain — it cannot
+rule out that both tracks carry exactly the same information).
+
+TPU-first shape: the det-minimizing weight is found by a fixed
+logdet grid scan + one quadratic refinement — branch-free, jit-safe,
+vmappable over track pairs; all solves are Cholesky-based via
+linalg.solve_psd (no LU on TPU x64).
+
+No reference counterpart (the reference is single-sensor); the
+association gate mirrors the chi-square machinery of chisquare.go.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import linalg
+
+
+class FusedEstimate(NamedTuple):
+    state: jax.Array  # [n]
+    covariance: jax.Array  # [n, n]
+    omega: jax.Array  # [] CI weight on estimate a (1.0 for independent)
+
+
+@linalg.highp
+def fuse_independent(xa, pa, xb, pb) -> FusedEstimate:
+    """Bartlett/product fusion for INDEPENDENT errors:
+    P^-1 = Pa^-1 + Pb^-1.  Equivalent to a Kalman update of (xa, Pa)
+    with measurement xb, H = I, R = Pb (pinned) — use only when the
+    two tracks genuinely share no information."""
+    xa, pa = jnp.asarray(xa), jnp.asarray(pa)
+    xb, pb = jnp.asarray(xb), jnp.asarray(pb)
+    ia = linalg.inv_psd(pa)
+    ib = linalg.inv_psd(pb)
+    p = linalg.inv_psd(ia + ib)
+    x = p @ (ia @ xa + ib @ xb)
+    return FusedEstimate(x, linalg.sym(p), jnp.ones((), pa.dtype))
+
+
+def _ci_at(w, ia, ib, ya, yb):
+    pinv = w * ia + (1.0 - w) * ib
+    p = linalg.inv_psd(pinv)
+    x = p @ (w * ya + (1.0 - w) * yb)
+    return x, linalg.sym(p)
+
+
+@linalg.highp
+def covariance_intersection(xa, pa, xb, pb, omega=None,
+                            iters: int = 60) -> FusedEstimate:
+    """CI fusion; `omega` fixes the weight, None picks the
+    det-minimizing one (the standard criterion) by golden-section
+    search — -logdet(w Ia + (1-w) Ib) is convex in w (logdet is
+    concave and the argument is linear), so the bracket shrinks by
+    0.618 per fixed iteration: branch-free, jit-safe, vmappable,
+    ~1e-10 bracket width at the default 60 iterations."""
+    xa, pa = jnp.asarray(xa), jnp.asarray(pa)
+    xb, pb = jnp.asarray(xb), jnp.asarray(pb)
+    dt = pa.dtype
+    ia, ib = linalg.inv_psd(pa), linalg.inv_psd(pb)
+    ya, yb = ia @ xa, ib @ xb
+    if omega is not None:
+        w = jnp.asarray(omega, dt)
+        x, p = _ci_at(w, ia, ib, ya, yb)
+        return FusedEstimate(x, p, w)
+
+    def obj(w):
+        # minimize logdet P_f = -logdet(w Ia + (1-w) Ib)
+        _, ld = jnp.linalg.slogdet(w * ia + (1.0 - w) * ib)
+        return -ld
+
+    gr = jnp.asarray(0.5 * (math.sqrt(5.0) - 1.0), dt)  # 0.618...
+
+    def body(_, carry):
+        lo, hi = carry
+        c = hi - gr * (hi - lo)
+        d = lo + gr * (hi - lo)
+        go_left = obj(c) < obj(d)
+        return (jnp.where(go_left, lo, c), jnp.where(go_left, d, hi))
+
+    lo, hi = jax.lax.fori_loop(
+        0, iters, body, (jnp.zeros((), dt), jnp.ones((), dt)))
+    w = 0.5 * (lo + hi)
+    x, p = _ci_at(w, ia, ib, ya, yb)
+    return FusedEstimate(x, p, w)
+
+
+@linalg.highp
+def t2t_statistic(xa, pa, xb, pb, p_cross=None):
+    """Track-to-track association statistic (Bar-Shalom 1981):
+    d = xa - xb, T = d' S^-1 d with S = Pa + Pb - Pab - Pab'
+    (`p_cross` = Pab; None assumes independent errors).  Under the
+    same-target hypothesis T ~ chi-square(n); gate at e.g. the 99%
+    quantile.  Tracks of the SAME target estimated from shared process
+    noise are positively correlated — omitting a known Pab makes S too
+    big and the test too lenient (pinned)."""
+    xa, pa = jnp.asarray(xa), jnp.asarray(pa)
+    xb, pb = jnp.asarray(xb), jnp.asarray(pb)
+    d = xa - xb
+    s = pa + pb
+    if p_cross is not None:
+        pc = jnp.asarray(p_cross)
+        s = s - pc - pc.T
+    return d @ linalg.solve_psd(linalg.sym(s), d)

@@ -1,0 +1,195 @@
+"""Track fusion pins: independent fusion == KF identity update, the
+Julier-Uhlmann CI consistency theorem over random joint covariances
+(and the independence rule VIOLATING it on the same draws), the
+det-minimizing weight vs brute force, no-gain on identical
+covariances, T2T association calibration with/without the
+cross-covariance, and a two-sensor end-to-end win."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gokalman_tpu import noise as gn
+from gokalman_tpu.filters import fusion, vanilla
+
+from fixtures import random_spd
+
+
+def _joint_blocks(rng, n, corr_scale=1.0):
+    """Random jointly-PSD (Pa, Pb, Pab): draw a 2n x 2n SPD matrix and
+    read off the blocks; corr_scale < 1 shrinks the cross block
+    (staying PSD by diagonal dominance of the construction)."""
+    j = random_spd(rng, 2 * n, 1.0)
+    pa, pb = j[:n, :n], j[n:, n:]
+    pab = corr_scale * j[:n, n:]
+    return pa, pb, pab
+
+
+def _ci_true_error_cov(pa, pb, pab, p_f, w):
+    """The ACTUAL error covariance of the CI combination x_f =
+    Wa xa + Wb xb (Wa = w P_f Pa^-1, Wb = (1-w) P_f Pb^-1) under the
+    true joint statistics."""
+    wa = w * p_f @ np.linalg.inv(pa)
+    wb = (1.0 - w) * p_f @ np.linalg.inv(pb)
+    return (wa @ pa @ wa.T + wb @ pb @ wb.T
+            + wa @ pab @ wb.T + wb @ pab.T @ wa.T)
+
+
+def test_fuse_independent_equals_identity_kf_update():
+    rng = np.random.default_rng(0)
+    n = 3
+    pa, pb = random_spd(rng, n, 1.0), random_spd(rng, n, 1.0)
+    xa, xb = rng.standard_normal(n), rng.standard_normal(n)
+    fe = fusion.fuse_independent(xa, pa, xb, pb)
+    m, s = vanilla.new(jnp.asarray(xa), jnp.asarray(pa), jnp.eye(n),
+                       None, jnp.eye(n),
+                       gn.noiseless(jnp.zeros((n, n)), jnp.asarray(pb)))
+    # one measurement update with F = I, Q = 0, H = I, R = Pb
+    _, e = vanilla.step(m, s, jnp.asarray(xb))
+    np.testing.assert_allclose(np.asarray(fe.state), np.asarray(e.state),
+                               rtol=0, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(fe.covariance),
+                               np.asarray(e.covariance), atol=1e-10)
+
+
+def test_ci_consistency_theorem_and_independent_rule_violation():
+    """CI's reason to exist: P_f upper-bounds the TRUE fused-error
+    covariance for every feasible cross-covariance; the product rule
+    does not (overconfident on positively correlated tracks)."""
+    rng = np.random.default_rng(1)
+    n = 3
+    ind_violated = 0
+    for _ in range(25):
+        pa, pb, pab = _joint_blocks(rng, n)
+        xa, xb = rng.standard_normal(n), rng.standard_normal(n)
+        fe = fusion.covariance_intersection(xa, pa, xb, pb)
+        p_f = np.asarray(fe.covariance)
+        true_cov = _ci_true_error_cov(pa, pb, pab, p_f,
+                                      float(fe.omega))
+        assert np.linalg.eigvalsh(p_f - true_cov).min() > -1e-8
+        # product rule on the same draw: its claimed covariance vs its
+        # actual error covariance under the true correlation
+        fi = fusion.fuse_independent(xa, pa, xb, pb)
+        p_i = np.asarray(fi.covariance)
+        wa = p_i @ np.linalg.inv(pa)
+        wb = p_i @ np.linalg.inv(pb)
+        true_i = (wa @ pa @ wa.T + wb @ pb @ wb.T
+                  + wa @ pab @ wb.T + wb @ pab.T @ wa.T)
+        if np.linalg.eigvalsh(p_i - true_i).min() < -1e-8:
+            ind_violated += 1
+    assert ind_violated > 15, ind_violated
+
+
+def test_ci_no_gain_on_identical_covariances():
+    rng = np.random.default_rng(2)
+    p = random_spd(rng, 3, 1.0)
+    xa, xb = rng.standard_normal(3), rng.standard_normal(3)
+    fe = fusion.covariance_intersection(xa, p, xb, p)
+    np.testing.assert_allclose(np.asarray(fe.covariance), p, atol=1e-8)
+
+
+def test_ci_omega_matches_brute_force():
+    rng = np.random.default_rng(3)
+    for _ in range(5):
+        pa, pb = random_spd(rng, 3, 1.0), random_spd(rng, 3, 1.0)
+        xa, xb = rng.standard_normal(3), rng.standard_normal(3)
+        fe = fusion.covariance_intersection(xa, pa, xb, pb)
+        det_ci = np.linalg.det(np.asarray(fe.covariance))
+        ws = np.linspace(0, 1, 10001)
+        dets = [np.linalg.det(np.linalg.inv(
+            w * np.linalg.inv(pa) + (1 - w) * np.linalg.inv(pb)))
+            for w in ws]
+        assert det_ci < np.min(dets) * (1 + 1e-4), (det_ci, np.min(dets))
+
+
+def test_ci_defers_to_the_informative_track():
+    rng = np.random.default_rng(4)
+    pa = random_spd(rng, 2, 0.5)
+    pb = 1e4 * np.eye(2)  # b knows nothing
+    xa, xb = np.array([1.0, -1.0]), np.array([50.0, 50.0])
+    fe = fusion.covariance_intersection(xa, pa, xb, pb)
+    assert float(fe.omega) > 0.95, float(fe.omega)
+    np.testing.assert_allclose(np.asarray(fe.state), xa, atol=0.05)
+    np.testing.assert_allclose(np.asarray(fe.covariance), pa, rtol=0.05)
+
+
+def test_t2t_statistic_calibration_and_cross_covariance():
+    """Same-target statistic ~ chi2(n): mean n with the right S.
+    With positively correlated errors and NO p_cross the statistic is
+    deflated (too lenient); supplying Pab restores the mean."""
+    rng = np.random.default_rng(5)
+    n = 2
+    # explicitly POSITIVELY correlated errors: ea = ec + e1,
+    # eb = ec + e2 with a shared component ec (the shared-process-noise
+    # structure of two trackers on one target): Pab = Pc > 0, so the
+    # true S = P1 + P2 is SMALLER than the naive Pa + Pb
+    pc = random_spd(rng, n, 1.0)
+    p1 = random_spd(rng, n, 0.3)
+    p2 = random_spd(rng, n, 0.3)
+    pa, pb, pab = pc + p1, pc + p2, pc
+    joint = np.block([[pa, pab], [pab.T, pb]])
+    l_ = np.linalg.cholesky(joint)
+    stats_nocross, stats_cross = [], []
+    for _ in range(4000):
+        e = l_ @ rng.standard_normal(2 * n)
+        ea, eb = e[:n], e[n:]
+        stats_nocross.append(float(fusion.t2t_statistic(ea, pa, eb, pb)))
+        stats_cross.append(float(fusion.t2t_statistic(
+            ea, pa, eb, pb, p_cross=pab)))
+    m_no, m_yes = np.mean(stats_nocross), np.mean(stats_cross)
+    assert abs(m_yes - n) < 0.15, m_yes
+    assert m_no < 0.8 * n, m_no  # deflated without the cross term
+    # different targets: statistic far beyond any sensible gate
+    far = float(fusion.t2t_statistic(np.zeros(n) + 50.0, pa,
+                                     np.zeros(n), pb))
+    assert far > 100.0
+
+
+def test_two_sensor_end_to_end_ci_fusion():
+    """Two KFs watch the same constant-velocity truth through different
+    sensors (correlated through the shared process noise); CI-fusing
+    their final estimates beats each individual track's error on
+    average AND stays conservative (NEES under the fused covariance
+    <= n on average)."""
+    rng = np.random.default_rng(6)
+    dt = 1.0
+    f = np.array([[1.0, dt], [0.0, 1.0]])
+    q = 0.05 * np.array([[dt**3 / 3, dt**2 / 2], [dt**2 / 2, dt]])
+    h = np.array([[1.0, 0.0]])
+    ra, rb = np.array([[0.5]]), np.array([[0.8]])
+    lq = np.linalg.cholesky(q)
+    nees = []
+    err_a = err_b = err_f = 0.0
+    for trial in range(150):
+        x = np.array([0.0, 1.0])
+        ya, yb = [], []
+        for _ in range(60):
+            x = f @ x + lq @ rng.standard_normal(2)
+            ya.append(h @ x + np.sqrt(ra[0, 0]) * rng.standard_normal(1))
+            yb.append(h @ x + np.sqrt(rb[0, 0]) * rng.standard_normal(1))
+        ma, sa = vanilla.new(jnp.zeros(2), 10 * jnp.eye(2),
+                             jnp.asarray(f), None, jnp.asarray(h),
+                             gn.noiseless(jnp.asarray(q), jnp.asarray(ra)))
+        mb, sb = vanilla.new(jnp.zeros(2), 10 * jnp.eye(2),
+                             jnp.asarray(f), None, jnp.asarray(h),
+                             gn.noiseless(jnp.asarray(q), jnp.asarray(rb)))
+        _, ea = vanilla.run(ma, sa, jnp.asarray(np.stack(ya)))
+        _, eb = vanilla.run(mb, sb, jnp.asarray(np.stack(yb)))
+        xa, pa = np.asarray(ea.state[-1]), np.asarray(ea.covariance[-1])
+        xb, pb = np.asarray(eb.state[-1]), np.asarray(eb.covariance[-1])
+        fe = fusion.covariance_intersection(xa, pa, xb, pb)
+        xf, pf = np.asarray(fe.state), np.asarray(fe.covariance)
+        err_a += np.sum((xa - x) ** 2)
+        err_b += np.sum((xb - x) ** 2)
+        err_f += np.sum((xf - x) ** 2)
+        d = xf - x
+        nees.append(d @ np.linalg.inv(pf) @ d)
+    # CI guarantees CONSISTENCY, not strict error reduction vs the
+    # better track (the tracks share the process noise, so most of
+    # their error is common); assert: never worse than the better
+    # track beyond MC slack, strictly better than the worse one, and
+    # the fused covariance stays honest-or-conservative
+    lo, hi = min(err_a, err_b), max(err_a, err_b)
+    assert err_f < hi, (err_f, err_a, err_b)
+    assert err_f < 1.05 * lo, (err_f, err_a, err_b)
+    assert np.mean(nees) < 2.2, np.mean(nees)

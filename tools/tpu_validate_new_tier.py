@@ -25,7 +25,7 @@ from gokalman_tpu import sysid
 from gokalman_tpu.dynamics import attitude as att
 from gokalman_tpu.diagnostics import ospa
 from gokalman_tpu.filters import (adaptive, cphd, enkf, imm, jpda, mekf,
-                                  particle, phd, pmb, quadrature,
+                                  fusion, particle, phd, pmb, quadrature,
                                   smoothing, studentt, tracker, ukf,
                                   vanilla)
 
@@ -238,6 +238,19 @@ def main():
         _, e = jax.jit(lambda fr, ma: pmb.run(m, s, fr, ma))(frames, masks)
         assert np.isfinite(np.asarray(e.existence)).all()
         assert float(e.existence[-1, 0]) > 0.5  # planted target acquired
+
+    @leg("fusion-ci")
+    def _():
+        pa = jnp.asarray([[1.0, 0.2], [0.2, 0.8]], jnp.float32)
+        pb = jnp.asarray([[0.6, -0.1], [-0.1, 1.2]], jnp.float32)
+        xa = jnp.asarray([1.0, -1.0], jnp.float32)
+        xb = jnp.asarray([1.2, -0.8], jnp.float32)
+        fe = jax.jit(lambda: fusion.covariance_intersection(
+            xa, pa, xb, pb))()
+        assert np.isfinite(np.asarray(fe.covariance)).all()
+        assert 0.0 <= float(fe.omega) <= 1.0
+        t = jax.jit(lambda: fusion.t2t_statistic(xa, pa, xb, pb))()
+        assert np.isfinite(float(t))
 
     @leg("n4sid")
     def _():

@@ -1,6 +1,7 @@
 #!/bin/bash
-# Full suite in four chunks (separate processes; grew from three as the
-# suite passed ~370 tests — keep each chunk well under the threshold).
+# Full suite in six chunks (separate processes; grew from three, then
+# four, as the suite passed ~370 and ~430 tests — keep each chunk well
+# under the threshold).
 #
 # Why: XLA:CPU on this box (jaxlib 0.9, single core) segfaults while
 # materializing executables after ~250 tests' worth of compilation in
@@ -17,6 +18,8 @@ set -e
 export TF_CPP_MIN_LOG_LEVEL=${TF_CPP_MIN_LOG_LEVEL:-3}
 cd "$(dirname "$0")/.."
 python -m pytest tests/test_[a-e]*.py -q "$@"
-python -m pytest tests/test_[f-m]*.py -q "$@"
-python -m pytest tests/test_[n-r]*.py -q "$@"
-python -m pytest tests/test_[s-z]*.py -q "$@"
+python -m pytest tests/test_[f-i]*.py -q "$@"
+python -m pytest tests/test_[j-m]*.py -q "$@"
+python -m pytest tests/test_[n-q]*.py -q "$@"
+python -m pytest tests/test_r*.py tests/test_s[a-l]*.py -q "$@"
+python -m pytest tests/test_s[m-z]*.py tests/test_[t-z]*.py -q "$@"

@@ -138,6 +138,9 @@ def step(model: Model, state: State, candidates, cand_mask, control=None):
         sinv_nus = linalg.solve_psd(s, nus.T).T
         d2 = jnp.sum(nus * sinv_nus, axis=1)  # [m]
         _, logdet = jnp.linalg.slogdet(s)
+        # zero the padded rows: their beta is exactly 0 but 0*NaN = NaN
+        # in the combine (d2's NaN fails the gate on its own)
+        nus = jnp.where(jnp.asarray(cand_mask, bool)[:, None], nus, 0.0)
         return s, k_gain, nus, d2, logdet
 
     s_all, k_all, nus_all, d2_all, logdet_all = jax.vmap(tgt_geometry)(

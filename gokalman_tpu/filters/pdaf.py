@@ -100,6 +100,10 @@ def step(model: Model, state: State, candidates, cand_mask, control=None):
     d2 = jnp.sum(nus * sinv_nus, axis=1)  # [m] Mahalanobis^2
     valid = jnp.asarray(cand_mask, bool) & (d2 <= model.gate)
     n_gated = jnp.sum(valid.astype(jnp.int32))
+    # padded slots may hold NaN/inf garbage: their beta is exactly 0,
+    # but 0*NaN = NaN, so the combine below needs where-zeroed rows
+    # (d2/valid above are already NaN-safe — NaN <= gate is False)
+    nus = jnp.where(jnp.asarray(cand_mask, bool)[:, None], nus, 0.0)
 
     # Association log-likelihoods (parametric PDAF, Bar-Shalom 2011
     # eq. 38): beta_i ∝ PD·N(nu_i; 0, S)/lambda, beta_0 ∝ 1 − PD·PG.

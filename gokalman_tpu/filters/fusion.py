@@ -112,6 +112,30 @@ def covariance_intersection(xa, pa, xb, pb, omega=None,
 
 
 @linalg.highp
+def fuse_known_cross(xa, pa, xb, pb, p_cross) -> FusedEstimate:
+    """Bar-Shalom-Campo (1986) fusion for a KNOWN cross-covariance
+    Pab = E[ea eb']: the optimal linear unbiased combination
+
+        x_f = xa + (Pa - Pab) S^-1 (xb - xa),
+        P_f = Pa - (Pa - Pab) S^-1 (Pa - Pab)',
+        S   = Pa + Pb - Pab - Pab'.
+
+    Exact (not conservative): P_f IS the true fused-error covariance.
+    Pab = 0 reduces to `fuse_independent` (pinned — the push-through
+    identity Pa (Pa+Pb)^-1 = (Ia+Ib)^-1 Ib); when the cross-covariance
+    is unknown use `covariance_intersection` instead.  The returned
+    omega field is fixed at 1 (no CI weight applies)."""
+    xa, pa = jnp.asarray(xa), jnp.asarray(pa)
+    xb, pb = jnp.asarray(xb), jnp.asarray(pb)
+    pab = jnp.asarray(p_cross)
+    s = linalg.sym(pa + pb - pab - pab.T)
+    w = linalg.solve_psd(s, (pa - pab).T).T  # (Pa - Pab) S^-1
+    x = xa + w @ (xb - xa)
+    p = linalg.sym(pa - w @ (pa - pab).T)
+    return FusedEstimate(x, p, jnp.ones((), pa.dtype))
+
+
+@linalg.highp
 def t2t_statistic(xa, pa, xb, pb, p_cross=None):
     """Track-to-track association statistic (Bar-Shalom 1981):
     d = xa - xb, T = d' S^-1 d with S = Pa + Pb - Pab - Pab'

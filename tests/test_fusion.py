@@ -193,3 +193,37 @@ def test_two_sensor_end_to_end_ci_fusion():
     assert err_f < hi, (err_f, err_a, err_b)
     assert err_f < 1.05 * lo, (err_f, err_a, err_b)
     assert np.mean(nees) < 2.2, np.mean(nees)
+
+
+def test_bsc_known_cross_is_exact_and_optimal():
+    """Bar-Shalom-Campo pins: (a) claimed P_f == TRUE fused-error
+    covariance exactly; (b) no other unbiased linear combination
+    (Wa + Wb = I grid) does better in trace; (c) Pab = 0 reduces to
+    the independent product rule."""
+    rng = np.random.default_rng(7)
+    n = 2
+    for _ in range(10):
+        pa, pb, pab = _joint_blocks(rng, n, corr_scale=0.7)
+        xa, xb = rng.standard_normal(n), rng.standard_normal(n)
+        fe = fusion.fuse_known_cross(xa, pa, xb, pb, pab)
+        p_f = np.asarray(fe.covariance)
+        w = (pa - pab) @ np.linalg.inv(pa + pb - pab - pab.T)
+        wa, wb = np.eye(n) - w, w
+        true_cov = (wa @ pa @ wa.T + wb @ pb @ wb.T
+                    + wa @ pab @ wb.T + wb @ pab.T @ wa.T)
+        np.testing.assert_allclose(p_f, true_cov, atol=1e-10)
+        # optimality: random perturbations of the gain never reduce tr
+        for _ in range(20):
+            dw = 0.05 * rng.standard_normal((n, n))
+            wa2, wb2 = wa - dw, wb + dw
+            alt = (wa2 @ pa @ wa2.T + wb2 @ pb @ wb2.T
+                   + wa2 @ pab @ wb2.T + wb2 @ pab.T @ wa2.T)
+            assert np.trace(alt) >= np.trace(true_cov) - 1e-10
+    pa, pb = random_spd(rng, n, 1.0), random_spd(rng, n, 1.0)
+    xa, xb = rng.standard_normal(n), rng.standard_normal(n)
+    fb = fusion.fuse_known_cross(xa, pa, xb, pb, np.zeros((n, n)))
+    fi = fusion.fuse_independent(xa, pa, xb, pb)
+    np.testing.assert_allclose(np.asarray(fb.state),
+                               np.asarray(fi.state), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(fb.covariance),
+                               np.asarray(fi.covariance), atol=1e-10)

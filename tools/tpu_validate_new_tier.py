@@ -26,7 +26,7 @@ from gokalman_tpu.dynamics import attitude as att
 from gokalman_tpu.diagnostics import ospa
 from gokalman_tpu.filters import (adaptive, cphd, enkf, imm, jpda, mekf,
                                   fusion, particle, phd, pmb, quadrature,
-                                  smoothing, studentt, tracker, ukf,
+                                  sise, smoothing, studentt, tracker, ukf,
                                   vanilla)
 
 
@@ -251,6 +251,17 @@ def main():
         assert 0.0 <= float(fe.omega) <= 1.0
         t = jax.jit(lambda: fusion.t2t_statistic(xa, pa, xb, pb))()
         assert np.isfinite(float(t))
+
+    @leg("sise")
+    def _():
+        e_in = jnp.asarray([[0.5], [1.0]], jnp.float32)
+        m, s = sise.new(x0, p0, f2, None, jnp.eye(2, dtype=jnp.float32),
+                        e_in, gk.noise.noiseless(
+                            q2, 0.2 * jnp.eye(2, dtype=jnp.float32)))
+        ys = jnp.asarray(rng.standard_normal((50, 2)), jnp.float32)
+        _, e = jax.jit(lambda y: sise.run(m, s, y))(ys)
+        assert np.isfinite(np.asarray(e.state)).all()
+        assert np.isfinite(np.asarray(e.input)).all()
 
     @leg("n4sid")
     def _():

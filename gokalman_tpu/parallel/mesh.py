@@ -345,3 +345,99 @@ def sharded_particle_run(x0, p0, n_particles: int, measurements, propagate,
 
     particles, ests = run_local(measurements, controls, meas_masks, step_keys)
     return particles, ests
+
+
+def sharded_sensor_fusion_run(x0, p0, f, q, hs, rs, measurements,
+                              mesh: Mesh, meas_masks=None, g=None,
+                              controls=None):
+    """Distributed multi-SENSOR Kalman filtering: the sensor axis
+    sharded over the mesh, fused in information form.
+
+    The information-filter identity makes measurement fusion an
+    ALL-REDUCE: with independent sensors, the posterior information is
+
+        Lambda_post = Lambda_pred + sum_s H_s' R_s^-1 H_s,
+        i_post      = Lambda_pred x_pred + sum_s H_s' R_s^-1 y_s,
+
+    so each device computes only its local sensors' [n, n] + [n]
+    contributions and one psum per step fuses them over ICI — the
+    measurement data (S sensor streams) never leaves its device.  The
+    result equals the CENTRAL KF on the stacked measurement vector
+    digit-for-digit (tests/test_shard_fusion.py), because it IS the
+    same algebra; this is the TPU-native shape of decentralized
+    estimation (cf. the exporter-of-information architecture the
+    information filter exists for, information.go:1).
+
+    `hs` [S, p, n] / `rs` [S, p, p] per-sensor models, `measurements`
+    [S, T, p] per-sensor streams (sharded on the sensor axis),
+    `meas_masks` [S, T] optional per-sensor dropout (a masked sensor
+    contributes nothing that step — sensors dropping out mid-run is
+    the operating mode of a real network).  The [n, n] state recursion
+    itself is replicated on every device (it is tiny next to the
+    per-sensor work at scale).
+
+    Returns (states [T, n], covariances [T, n, n]) — replicated.
+    """
+    from functools import partial
+
+    from .. import linalg
+
+    axis_names = mesh.axis_names
+    if len(axis_names) != 1:
+        raise ValueError("sharded_sensor_fusion_run expects a 1-D mesh")
+    axis = axis_names[0]
+    n_dev = int(np.prod(mesh.devices.shape))
+    hs, rs = jnp.asarray(hs), jnp.asarray(rs)
+    measurements = jnp.asarray(measurements)
+    n_sensors = hs.shape[0]
+    if n_sensors % n_dev:
+        raise ValueError(
+            f"{n_sensors} sensors not divisible by {n_dev} devices")
+    x0, p0 = jnp.asarray(x0), jnp.asarray(p0)
+    f = jnp.asarray(f)
+    q = jnp.asarray(q)
+    if meas_masks is None:
+        meas_masks = jnp.ones(measurements.shape[:2], bool)
+    g_ = None if g is None else jnp.asarray(g)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P()),
+        out_specs=(P(), P()),
+    )
+    @linalg.highp
+    def run_local(hs_l, rs_l, ys_l, masks_l, ctrls):
+        # per-sensor information geometry, computed once (local)
+        rinv_h = jax.vmap(lambda r_, h_: linalg.solve_psd(r_, h_))(
+            rs_l, hs_l)  # [S_l, p, n] = R^-1 H
+        u_l = jnp.einsum("spn,spm->snm", hs_l, rinv_h)  # per-sensor H'R^-1H
+
+        def body(carry, xs):
+            x, p = carry
+            ys_k, m_k, ctrl_k = xs  # [S_l, p], [S_l], [m]
+            x_pred = f @ x
+            if g_ is not None:
+                x_pred = x_pred + g_ @ ctrl_k
+            p_pred = linalg.sym(f @ p @ f.T + q)
+            mf = m_k.astype(x.dtype)
+            lam_c = jax.lax.psum(
+                jnp.einsum("s,snm->nm", mf, u_l), axis)
+            i_c = jax.lax.psum(
+                jnp.einsum("s,spn,sp->n", mf, rinv_h,
+                           jnp.where(m_k[:, None], ys_k, 0.0)), axis)
+            lam_pred = linalg.inv_psd(p_pred)
+            p_post = linalg.inv_psd(linalg.sym(lam_pred + lam_c))
+            x_post = p_post @ (lam_pred @ x_pred + i_c)
+            return (x_post, p_post), (x_post, p_post)
+
+        xs_in = (jnp.swapaxes(ys_l, 0, 1), jnp.swapaxes(masks_l, 0, 1),
+                 ctrls)
+        (_, _), (states, covs) = jax.lax.scan(
+            body, (x0, p0), xs_in)
+        return states, covs
+
+    ctrls_in = (jnp.zeros((measurements.shape[1], 1), x0.dtype)
+                if controls is None else jnp.asarray(controls))
+    return run_local(hs, rs, measurements, jnp.asarray(meas_masks, bool),
+                     ctrls_in)

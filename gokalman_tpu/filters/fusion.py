@@ -23,10 +23,10 @@ pinned here over random joint covariances.  The price is conservatism:
 with Pa == Pb, CI returns P (no claimed information gain — it cannot
 rule out that both tracks carry exactly the same information).
 
-TPU-first shape: the det-minimizing weight is found by a fixed
-logdet grid scan + one quadratic refinement — branch-free, jit-safe,
-vmappable over track pairs; all solves are Cholesky-based via
-linalg.solve_psd (no LU on TPU x64).
+TPU-first shape: the det-minimizing weight is found by fixed-iteration
+golden-section search on the convex -logdet (one slogdet per
+iteration) — branch-free, jit-safe, vmappable over track pairs; all
+solves are Cholesky-based via linalg.solve_psd (no LU on TPU x64).
 
 No reference counterpart (the reference is single-sensor); the
 association gate mirrors the chi-square machinery of chisquare.go.
@@ -97,15 +97,26 @@ def covariance_intersection(xa, pa, xb, pb, omega=None,
 
     gr = jnp.asarray(0.5 * (math.sqrt(5.0) - 1.0), dt)  # 0.618...
 
+    # classic single-evaluation golden section: carry one probe's
+    # objective; each iteration computes exactly ONE new slogdet
     def body(_, carry):
-        lo, hi = carry
-        c = hi - gr * (hi - lo)
-        d = lo + gr * (hi - lo)
-        go_left = obj(c) < obj(d)
-        return (jnp.where(go_left, lo, c), jnp.where(go_left, d, hi))
+        lo, hi, c, d, fc, fd = carry
+        go_left = fc < fd
+        lo2 = jnp.where(go_left, lo, c)
+        hi2 = jnp.where(go_left, d, hi)
+        c2 = hi2 - gr * (hi2 - lo2)
+        d2 = lo2 + gr * (hi2 - lo2)
+        new_pt = jnp.where(go_left, c2, d2)
+        f_new = obj(new_pt)
+        fc2 = jnp.where(go_left, f_new, fd)
+        fd2 = jnp.where(go_left, fc, f_new)
+        return (lo2, hi2, c2, d2, fc2, fd2)
 
-    lo, hi = jax.lax.fori_loop(
-        0, iters, body, (jnp.zeros((), dt), jnp.ones((), dt)))
+    lo0, hi0 = jnp.zeros((), dt), jnp.ones((), dt)
+    c0 = hi0 - gr * (hi0 - lo0)
+    d0 = lo0 + gr * (hi0 - lo0)
+    lo, hi, _, _, _, _ = jax.lax.fori_loop(
+        0, iters, body, (lo0, hi0, c0, d0, obj(c0), obj(d0)))
     w = 0.5 * (lo + hi)
     x, p = _ci_at(w, ia, ib, ya, yb)
     return FusedEstimate(x, p, w)

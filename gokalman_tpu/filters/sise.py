@@ -26,7 +26,7 @@ The decisive correctness pin: SISE is EXACTLY the limit of an
 augmented-state KF that models d as white noise with unbounded
 variance (unknown-input = infinite-variance noise) — tests verify
 state AND input estimates against an augmented vanilla KF with
-Q_d = 1e10 to 4 digits, plus MC unbiasedness/NEES under adversarial
+Q_d = 1e8 to 4 digits, plus MC unbiasedness/NEES under adversarial
 deterministic inputs.
 
 TPU notes: the pseudo-inverse gain is jnp.linalg.pinv (SVD-based — no

@@ -398,7 +398,10 @@ def sharded_sensor_fusion_run(x0, p0, f, q, hs, rs, measurements,
     q = jnp.asarray(q)
     if meas_masks is None:
         meas_masks = jnp.ones(measurements.shape[:2], bool)
-    g_ = None if g is None else jnp.asarray(g)
+    # vanilla.predict convention: a model G with no controls supplied
+    # means the control term is absent (not a fabricated zero vector,
+    # whose [T, 1] placeholder shape would crash a multi-column G)
+    g_ = None if (g is None or controls is None) else jnp.asarray(g)
 
     @partial(
         jax.shard_map,

@@ -7,7 +7,8 @@ Run on the real TPU (no platform override) when the axon tunnel is up:
 Small shapes (T<=100) keep each compile short on the tunneled backend.
 Covers: studentt, VB-adaptive, quadrature, MEKF+USQUE, JPDA, IMM-PDAF,
 tracker, GM-PHD, GM-CPHD, OSPA, OOSM/fading/correlated, IPLF/augmented
-UKF, rigid-body dynamics, two-filter/Kim/EnKS/FFBS smoothers.  Prints one OK line per leg; any
+UKF, rigid-body dynamics, two-filter/Kim/EnKS/FFBS smoothers, PMB,
+fusion (CI), SISE, N4SID (17 legs).  Prints one OK line per leg; any
 exception is a real failure.
 """
 

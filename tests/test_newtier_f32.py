@@ -223,3 +223,54 @@ def test_immpdaf_rigidbody_f32():
         q, w = att32.propagate_rigid_body(q, w, inertia, 0.05, n_sub=2)
     assert q.dtype == jnp.float32
     np.testing.assert_allclose(float(jnp.linalg.norm(q)), 1.0, atol=1e-5)
+
+
+def test_pmb_fusion_sise_f32():
+    from gokalman_tpu.filters import fusion, pmb, sise
+
+    f, q, h, r = _cv4()
+    rng = np.random.default_rng(12)
+    # PMB: one target + clutter, f32 end to end
+    bm = jnp.zeros((1, 4), jnp.float32)
+    bp = 4.0 * jnp.eye(4, dtype=jnp.float32)[None]
+    m, s = pmb.new(f, None, h, gn.noiseless(q, r),
+                   jnp.asarray([0.05], jnp.float32), bm, bp,
+                   j_max=8, t_max=6)
+    x = np.array([0.5, 0.1, -0.5, 0.1], np.float32)
+    frames = np.zeros((30, 4, 2), np.float32)
+    fn, hn = np.asarray(f), np.asarray(h)
+    for k in range(30):
+        x = fn @ x
+        frames[k, 0] = hn @ x + 0.2 * rng.standard_normal(2)
+        frames[k, 1:] = rng.uniform(-20, 20, (3, 2))
+    _, est = pmb.run(m, s, jnp.asarray(frames),
+                     jnp.ones((30, 4), bool))
+    assert est.existence.dtype == jnp.float32
+    assert np.isfinite(np.asarray(est.states)).all()
+    assert float(est.existence[-1, 0]) > 0.5
+    # fusion: vmapped CI over a bank of track pairs, f32
+    pa = jnp.broadcast_to(jnp.eye(2, dtype=jnp.float32), (16, 2, 2))
+    pb = 2.0 * pa
+    xa = jnp.asarray(rng.standard_normal((16, 2)), jnp.float32)
+    xb = xa + 0.1
+    fe = jax.vmap(fusion.covariance_intersection)(xa, pa, xb, pb)
+    assert fe.covariance.dtype == jnp.float32
+    assert np.isfinite(np.asarray(fe.covariance)).all()
+    assert ((np.asarray(fe.omega) >= 0) & (np.asarray(fe.omega) <= 1)).all()
+    # sise: f32 run stays finite, d-hat tracks a step
+    e_in = jnp.asarray([[0.0], [1.0], [0.0], [0.0]], jnp.float32)
+    ms_, ss_ = sise.new(jnp.zeros(4, jnp.float32),
+                        jnp.eye(4, dtype=jnp.float32), f, None,
+                        jnp.eye(4, dtype=jnp.float32), e_in,
+                        gn.noiseless(q, 0.1 * jnp.eye(4, dtype=jnp.float32)))
+    xs_ = np.zeros(4, np.float32)
+    ys_ = []
+    for k in range(40):
+        d = 0.5 if k >= 20 else 0.0
+        xs_ = fn @ xs_ + np.asarray(e_in[:, 0]) * d \
+            + 0.01 * rng.standard_normal(4)
+        ys_.append(xs_ + 0.3 * rng.standard_normal(4))
+    _, es_ = sise.run(ms_, ss_, jnp.asarray(np.stack(ys_), jnp.float32))
+    assert es_.state.dtype == jnp.float32
+    assert np.isfinite(np.asarray(es_.input)).all()
+    assert abs(float(np.asarray(es_.input)[30:, 0].mean()) - 0.5) < 0.2

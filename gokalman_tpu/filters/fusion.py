@@ -163,3 +163,94 @@ def t2t_statistic(xa, pa, xb, pb, p_cross=None):
         pc = jnp.asarray(p_cross)
         s = s - pc - pc.T
     return d @ linalg.solve_psd(linalg.sym(s), d)
+
+
+def associate_tracks(xa, pa, mask_a, xb, pb, mask_b, gate: float,
+                     p_cross=None):
+    """Optimal track-to-track association between two padded track
+    sets: minimize the total `t2t_statistic` over one-to-one
+    assignments, with any pair above `gate` (chi-square) left
+    unmatched.  Exact — enumerates permutations of the padded size at
+    trace time (the diagnostics.ospa idiom; sizes ≤ 8, the scale of
+    the tracking tier), so it never falls into the greedy trap of
+    locking a good pair that forces a terrible one.
+
+    `xa` [Na, n] / `pa` [Na, n, n] / `mask_a` [Na] (same for b);
+    `p_cross` optionally supplies a COMMON cross-covariance for all
+    pairs (tracks of one target share process noise).  Returns
+    (assignment [Na] int32 — index into b or -1, statistic [Na]).
+    """
+    import itertools as _it
+
+    import numpy as _np
+
+    xa, pa = jnp.asarray(xa), jnp.asarray(pa)
+    xb, pb = jnp.asarray(xb), jnp.asarray(pb)
+    mask_a = jnp.asarray(mask_a, bool)
+    mask_b = jnp.asarray(mask_b, bool)
+    na, nb = xa.shape[0], xb.shape[0]
+    if max(na, nb) > 8:
+        raise ValueError(
+            f"associate_tracks enumerates assignments exactly; padded "
+            f"sizes up to 8 supported (got {na}x{nb})")
+    dt = pa.dtype
+    g = jnp.asarray(gate, dt)
+
+    stat = jax.vmap(lambda x1, p1: jax.vmap(
+        lambda x2, p2: t2t_statistic(x1, p1, x2, p2, p_cross))(xb, pb))(
+        xa, pa)  # [Na, Nb]
+    valid = mask_a[:, None] & mask_b[None, :] & (stat <= g)
+    # leave-unmatched costs exactly `gate` per side; a matched pair
+    # costs its statistic — so any pair with stat < gate is worth
+    # matching and the padded assignment solves the gated problem
+    big = max(na, nb)
+    cost = jnp.full((big, big), g, dt)
+    cost = cost.at[:na, :nb].set(jnp.where(valid, stat, g))
+    perms = jnp.asarray(
+        _np.array(list(_it.permutations(range(big)))), jnp.int32)
+    perm_costs = jax.vmap(
+        lambda pr: jnp.sum(cost[jnp.arange(big), pr]))(perms)
+    best = perms[jnp.argmin(perm_costs)]  # [big] b-index per a-slot
+    best_a = best[:na]
+    matched = valid[jnp.arange(na), jnp.clip(best_a, 0, nb - 1)] \
+        & (best_a < nb)
+    assignment = jnp.where(matched, best_a, -1).astype(jnp.int32)
+    statistic = stat[jnp.arange(na), jnp.clip(best_a, 0, nb - 1)]
+    statistic = jnp.where(matched, statistic, jnp.inf)
+    return assignment, statistic
+
+
+def associate_and_fuse(xa, pa, mask_a, xb, pb, mask_b, gate: float,
+                       p_cross=None, omega=None):
+    """Associate two track sets and fuse: matched pairs by covariance
+    intersection (or `fuse_known_cross` when `p_cross` is given),
+    unmatched tracks from BOTH sides passed through.  Returns a padded
+    fused set (xs [Na+Nb, n], ps [Na+Nb, n, n], mask [Na+Nb]): slots
+    0..Na-1 hold a-side tracks (fused where matched), the rest hold
+    b's unmatched leftovers."""
+    xa, pa = jnp.asarray(xa), jnp.asarray(pa)
+    xb, pb = jnp.asarray(xb), jnp.asarray(pb)
+    mask_a = jnp.asarray(mask_a, bool)
+    mask_b = jnp.asarray(mask_b, bool)
+    na, nb = xa.shape[0], xb.shape[0]
+    assignment, _ = associate_tracks(xa, pa, mask_a, xb, pb, mask_b,
+                                     gate, p_cross)
+    matched = assignment >= 0
+    idx = jnp.clip(assignment, 0, nb - 1)
+
+    def fuse_one(x1, p1, x2, p2, m_):
+        if p_cross is not None:
+            fe = fuse_known_cross(x1, p1, x2, p2, p_cross)
+        else:
+            fe = covariance_intersection(x1, p1, x2, p2, omega=omega)
+        return (jnp.where(m_, fe.state, x1),
+                jnp.where(m_, fe.covariance, p1))
+
+    xs_a, ps_a = jax.vmap(fuse_one)(xa, pa, xb[idx], pb[idx], matched)
+    # b-side leftovers: any valid b-track not claimed by a match
+    claimed = jnp.zeros((nb,), bool).at[idx].max(matched)
+    leftover = mask_b & ~claimed
+    xs = jnp.concatenate([xs_a, xb], axis=0)
+    ps = jnp.concatenate([ps_a, pb], axis=0)
+    mask = jnp.concatenate([mask_a, leftover])
+    return xs, ps, mask

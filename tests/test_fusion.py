@@ -227,3 +227,89 @@ def test_bsc_known_cross_is_exact_and_optimal():
                                np.asarray(fi.state), atol=1e-10)
     np.testing.assert_allclose(np.asarray(fb.covariance),
                                np.asarray(fi.covariance), atol=1e-10)
+
+
+def test_associate_tracks_matches_brute_force_optimum():
+    """Exact-enumeration contract: the assignment's total gated cost
+    equals the brute-force optimum over all permutations (greedy has
+    no such guarantee), on a hand case and random scenes."""
+    pa = np.broadcast_to(np.eye(1), (2, 1, 1))
+    xa = np.array([[0.0], [1.4]])
+    xb = np.array([[0.2], [1.0]])
+    a, s = fusion.associate_tracks(xa, pa, np.ones(2, bool), xb, pa,
+                                   np.ones(2, bool), gate=16.0)
+    assert list(np.asarray(a)) == [0, 1]
+    # brute-force oracle over all matchings on random scenes
+    rng = np.random.default_rng(0)
+    import itertools
+
+    for _ in range(10):
+        xa_ = rng.uniform(-3, 3, (3, 1))
+        xb_ = rng.uniform(-3, 3, (3, 1))
+        pa_ = np.broadcast_to(np.eye(1), (3, 1, 1))
+        a_, s_ = fusion.associate_tracks(xa_, pa_, np.ones(3, bool),
+                                         xb_, pa_, np.ones(3, bool),
+                                         gate=16.0)
+        gate = 16.0
+
+        def cost_of(assign):
+            tot, used = 0.0, set()
+            for i, j in enumerate(assign):
+                st = (xa_[i, 0] - xb_[j, 0]) ** 2 / 2.0
+                tot += min(st, gate)
+            return tot
+
+        best = min(itertools.permutations(range(3)), key=cost_of)
+        got = [j for j in np.asarray(a_)]
+        # compare total cost (ties can permute assignments)
+        def total(assign_list):
+            t = 0.0
+            for i, j in enumerate(assign_list):
+                if j >= 0:
+                    t += min((xa_[i, 0] - xb_[j, 0]) ** 2 / 2.0, gate)
+                else:
+                    t += gate
+            return t
+        assert total(got) <= cost_of(best) + 1e-9
+
+
+def test_associate_tracks_gating_and_masks():
+    pa = np.broadcast_to(np.eye(2), (3, 2, 2))
+    xa = np.array([[0.0, 0.0], [5.0, 5.0], [50.0, 50.0]])
+    xb = np.array([[0.1, -0.1], [49.0, 49.0], [0.0, 0.0]])
+    mask_b = np.array([True, True, False])  # b[2] invalid (dup of a[0])
+    a, s = fusion.associate_tracks(xa, pa, np.ones(3, bool), xb, pa,
+                                   mask_b, gate=9.21)  # chi2(2) 99%
+    a = list(np.asarray(a))
+    assert a[0] == 0          # near pair matched
+    assert a[1] == -1         # nothing within gate
+    assert a[2] == 1          # 50,50 <-> 49,49 within gate (d2/2=1)
+    assert np.isinf(np.asarray(s)[1])
+
+
+def test_associate_and_fuse_improves_ospa():
+    """Two noisy views of 3 targets: the fused set is closer to truth
+    (OSPA) than either single-sensor set, and unmatched leftovers
+    survive (a b-only target stays in the output)."""
+    from gokalman_tpu.diagnostics import ospa
+
+    rng = np.random.default_rng(4)
+    truth = np.array([[0.0, 0.0], [10.0, 0.0], [0.0, 10.0],
+                      [10.0, 10.0]])
+    pa = np.broadcast_to(0.5 * np.eye(2), (4, 2, 2)).copy()
+    pb = np.broadcast_to(0.8 * np.eye(2), (4, 2, 2)).copy()
+    o_f, o_a, o_b = [], [], []
+    for _ in range(50):
+        xa = truth[:3] + np.sqrt(0.5) * rng.standard_normal((3, 2))
+        xb = truth + np.sqrt(0.8) * rng.standard_normal((4, 2))
+        xa = np.vstack([xa, np.zeros((1, 2))])  # padded slot
+        ma = np.array([True, True, True, False])
+        mb = np.ones(4, bool)
+        xs, ps, mask = fusion.associate_and_fuse(
+            xa, pa, ma, xb, pb, mb, gate=25.0)
+        assert int(np.asarray(mask).sum()) == 4  # 3 fused + 1 leftover
+        o_f.append(float(ospa(xs, mask, truth, np.ones(4, bool), 5.0)))
+        o_a.append(float(ospa(xa, ma, truth, np.ones(4, bool), 5.0)))
+        o_b.append(float(ospa(xb, mb, truth, np.ones(4, bool), 5.0)))
+    assert np.mean(o_f) < np.mean(o_a)
+    assert np.mean(o_f) < np.mean(o_b)

@@ -252,6 +252,14 @@ def main():
         assert 0.0 <= float(fe.omega) <= 1.0
         t = jax.jit(lambda: fusion.t2t_statistic(xa, pa, xb, pb))()
         assert np.isfinite(float(t))
+        fi = jax.jit(lambda: fusion.inverse_covariance_intersection(
+            xa, pa, xb, pb))()
+        assert np.isfinite(np.asarray(fi.covariance)).all()
+        aj, _ = fusion.associate_tracks(
+            jnp.stack([xa, xa + 8.0]), jnp.stack([pa, pa]),
+            jnp.ones(2, bool), jnp.stack([xa + 0.1, xa + 8.1]),
+            jnp.stack([pb, pb]), jnp.ones(2, bool), 16.0)
+        assert list(np.asarray(aj)) == [0, 1]
 
     @leg("sise")
     def _():
@@ -263,6 +271,17 @@ def main():
         _, e = jax.jit(lambda y: sise.run(m, s, y))(ys)
         assert np.isfinite(np.asarray(e.state)).all()
         assert np.isfinite(np.asarray(e.input)).all()
+
+    @leg("glr")
+    def _():
+        from gokalman_tpu.diagnostics import glr_detect
+
+        vm, vs = vanilla.new(x0, p0, f2, None, h2, nz2)
+        _, ev = jax.jit(lambda y: vanilla.run(vm, vs, y))(ys2)
+        res = jax.jit(lambda: glr_detect(
+            f2, h2, jnp.asarray([[0.0], [1.0]], jnp.float32), ev,
+            threshold=25.0, window=8))()
+        assert np.isfinite(np.asarray(res.glr)).all()
 
     @leg("n4sid")
     def _():

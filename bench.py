@@ -164,36 +164,9 @@ def smoother_bench_guarded(budget_s: float = 900.0):
         return {"smoother_gate_pass": None, "smoother_error": repr(e)[:120]}
 
 
-def _backend_watchdog(timeout_s: float) -> None:
-    """The tunneled axon backend can wedge so hard that jax.devices()
-    never returns (documented outage mode: even backend registration
-    hangs) — a hung bench would then stall the driver's whole round.
-    Probe device acquisition from a daemon thread and fail LOUDLY if
-    the backend has not come up in `timeout_s` (BENCH_BACKEND_TIMEOUT
-    overrides, seconds)."""
-    import threading
-
-    done = threading.Event()
-
-    def probe():
-        try:
-            jax.devices()
-        finally:
-            done.set()
-
-    threading.Thread(target=probe, daemon=True).start()
-    if not done.wait(timeout_s):
-        print(
-            f"bench: backend unreachable after {timeout_s:.0f}s "
-            "(axon tunnel wedged?) — aborting instead of hanging",
-            file=sys.stderr,
-            flush=True,
-        )
-        os._exit(2)
-
-
 def main():
-    _backend_watchdog(float(os.environ.get("BENCH_BACKEND_TIMEOUT", "600")))
+    gk.profiling.backend_watchdog(
+        float(os.environ.get("BENCH_BACKEND_TIMEOUT", "600")), "bench")
     model, state0 = make_model()
     smoother_fields = smoother_bench_guarded()
 

@@ -120,36 +120,13 @@ def run_one(name, fn, s, tail=False, pos_gate=1e-3, vel_gate=1e-6,
     return out
 
 
-def _backend_watchdog(timeout_s: float) -> None:
-    """Same guard as bench.py: the wedged axon tunnel hangs even
-    jax.devices(); abort loudly rather than stalling the driver."""
-    import os
-    import threading
-
-    done = threading.Event()
-
-    def probe():
-        try:
-            jax.devices()
-        finally:
-            done.set()
-
-    threading.Thread(target=probe, daemon=True).start()
-    if not done.wait(timeout_s):
-        print(
-            f"bench_od: backend unreachable after {timeout_s:.0f}s "
-            "(axon tunnel wedged?) — aborting instead of hanging",
-            file=sys.stderr,
-            flush=True,
-        )
-        os._exit(2)
-
-
 def main(steps=8640):
     import os
 
-    _backend_watchdog(float(os.environ.get("BENCH_BACKEND_TIMEOUT",
-                                           "600")))
+    from gokalman_tpu.profiling import backend_watchdog
+
+    backend_watchdog(float(os.environ.get("BENCH_BACKEND_TIMEOUT",
+                                          "600")), "bench_od")
     s = scenario(steps)
     noise = gn.noiseless(jnp.zeros((3, 3)), s["r"])
     ekf_mask = jnp.cumsum(s["ms"].has_meas) > 30

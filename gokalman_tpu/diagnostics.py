@@ -394,7 +394,8 @@ class GLRResult(NamedTuple):
     detected: jax.Array  # [] bool: max GLR > threshold
 
 
-def glr_detect(f, h, e, ests, threshold: float, window: int = 12):
+def glr_detect(f, h, e, ests, threshold: float, window: int = 12,
+               r=None):
     """Willsky-Jones (1976) generalized-likelihood-ratio jump detector
     over a filter's recorded innovations: the classic complement to
     `filters.sise` — SISE re-estimates a PERSISTENT unknown input every
@@ -431,29 +432,47 @@ def glr_detect(f, h, e, ests, threshold: float, window: int = 12):
     t = nus.shape[0]
     n = f.shape[0]
     eye = jnp.eye(n, dtype=f.dtype)
-    # The Estimate trace carries P^- and K but not R, so recover the
-    # innovation covariance from the gain identity K S = P^- H'
-    # (K has full column rank p — normal-equations solve is exact).
     gains = jnp.asarray(ests.gain)  # [T, n, p]
     pred = jnp.asarray(ests.pred_covariance)  # [T, n, n]
+    if r is not None:
+        # direct innovation covariance S = H P^- H' + R — REQUIRED for
+        # padded/masked measurement schedules, whose masked components
+        # have exactly-zero gain columns (the gain identity below goes
+        # singular there and NaN-poisons every onset whose window
+        # covers the step, measured)
+        r_ = jnp.asarray(r)
+        s_all = jax.vmap(
+            lambda p_: linalg.sym(h @ p_ @ h.T + r_))(pred)
+    else:
+        # recover S from the gain identity K S = P^- H' via the
+        # pseudo-inverse (robust to rank deficiency, exact when K has
+        # full column rank — dense traces)
+        def s_of(k_g, p_):
+            return jnp.linalg.pinv(k_g) @ (p_ @ h.T)
 
-    def s_of(k_g, p_):
-        # S solves K S = P^- H' (unique: K is n x p, full column rank)
-        kt_k = k_g.T @ k_g
-        return linalg.solve_psd(linalg.sym(kt_k), k_g.T @ (p_ @ h.T))
+        s_all = jax.vmap(s_of)(gains, pred)  # [T, p, p]
 
-    s_all = jax.vmap(s_of)(gains, pred)  # [T, p, p]
+    # a measurement component the filter did not use that step (the
+    # padded-mask idiom) has an exactly-zero gain column: it carries no
+    # jump information, and leaving it in makes S singular -> NaN
+    # (measured).  Excise such components from the statistic per step.
+    comp_ok = jnp.sum(gains**2, axis=1) > 0  # [T, p]
 
     def one_onset(theta):
         def body(carry, k):
             phi, a, b = carry
             in_win = (k >= theta) & (k < theta + window) & (k < t)
             kk = jnp.clip(k, 0, t - 1)
-            sig = h @ phi @ e  # [p, nd]
-            s_k = linalg.sym(s_all[kk])
+            ok = comp_ok[kk]
+            sig = jnp.where(ok[:, None], h @ phi @ e, 0.0)  # [p, nd]
+            s_k = jnp.where(ok[:, None] & ok[None, :],
+                            linalg.sym(s_all[kk]), 0.0) \
+                + jnp.diag(jnp.where(ok, 0.0, 1.0).astype(f.dtype))
             sinv_sig = linalg.solve_psd(s_k, sig)
             a2 = a + jnp.where(in_win, sig.T @ sinv_sig, 0.0)
-            b2 = b + jnp.where(in_win, sinv_sig.T @ nus[kk], 0.0)
+            b2 = b + jnp.where(in_win,
+                               sinv_sig.T @ jnp.where(ok, nus[kk], 0.0),
+                               0.0)
             phi2 = f @ (eye - gains[kk] @ h) @ phi
             phi2 = jnp.where(in_win, phi2, phi)
             return (phi2, a2, b2), None

@@ -34,7 +34,6 @@ association gate mirrors the chi-square machinery of chisquare.go.
 
 from __future__ import annotations
 
-import math
 from typing import NamedTuple
 
 import jax
@@ -95,29 +94,8 @@ def covariance_intersection(xa, pa, xb, pb, omega=None,
         _, ld = jnp.linalg.slogdet(w * ia + (1.0 - w) * ib)
         return -ld
 
-    gr = jnp.asarray(0.5 * (math.sqrt(5.0) - 1.0), dt)  # 0.618...
-
-    # classic single-evaluation golden section: carry one probe's
-    # objective; each iteration computes exactly ONE new slogdet
-    def body(_, carry):
-        lo, hi, c, d, fc, fd = carry
-        go_left = fc < fd
-        lo2 = jnp.where(go_left, lo, c)
-        hi2 = jnp.where(go_left, d, hi)
-        c2 = hi2 - gr * (hi2 - lo2)
-        d2 = lo2 + gr * (hi2 - lo2)
-        new_pt = jnp.where(go_left, c2, d2)
-        f_new = obj(new_pt)
-        fc2 = jnp.where(go_left, f_new, fd)
-        fd2 = jnp.where(go_left, fc, f_new)
-        return (lo2, hi2, c2, d2, fc2, fd2)
-
-    lo0, hi0 = jnp.zeros((), dt), jnp.ones((), dt)
-    c0 = hi0 - gr * (hi0 - lo0)
-    d0 = lo0 + gr * (hi0 - lo0)
-    lo, hi, _, _, _, _ = jax.lax.fori_loop(
-        0, iters, body, (lo0, hi0, c0, d0, obj(c0), obj(d0)))
-    w = 0.5 * (lo + hi)
+    w = linalg.golden_section(obj, jnp.zeros((), dt), jnp.ones((), dt),
+                              iters)
     x, p = _ci_at(w, ia, ib, ya, yb)
     return FusedEstimate(x, p, w)
 
@@ -200,12 +178,26 @@ def associate_tracks(xa, pa, mask_a, xb, pb, mask_b, gate: float,
         lambda x2, p2: t2t_statistic(x1, p1, x2, p2, p_cross))(xb, pb))(
         xa, pa)  # [Na, Nb]
     valid = mask_a[:, None] & mask_b[None, :] & (stat <= g)
-    # leave-unmatched costs exactly `gate` per side; a matched pair
-    # costs its statistic — so any pair with stat < gate is worth
-    # matching and the padded assignment solves the gated problem
+    # PER-SIDE unmatched accounting: the objective is
+    #   sum(matched stats) + gate * (#unmatched_a + #unmatched_b).
+    # In the padded square assignment, a real-real cell that is NOT a
+    # match absorbs BOTH tracks, so it must cost 2*gate (a single-gate
+    # cell lets the optimizer drop an in-gate pair because unmatching
+    # both sides looked half price — measured: stats
+    # [[15, inf], [14, 15.9]] at gate 16 returned [-1, 0] instead of
+    # the correct [0, 1]); a real-padded cell drops one track (gate),
+    # padded-padded is free.
     big = max(na, nb)
-    cost = jnp.full((big, big), g, dt)
-    cost = cost.at[:na, :nb].set(jnp.where(valid, stat, g))
+    row_real = jnp.concatenate(
+        [mask_a, jnp.zeros((big - na,), bool)])
+    col_real = jnp.concatenate(
+        [mask_b, jnp.zeros((big - nb,), bool)])
+    both = row_real[:, None] & col_real[None, :]
+    one = row_real[:, None] ^ col_real[None, :]
+    cost = jnp.where(one, g, 0.0).astype(dt)
+    cost = cost.at[:na, :nb].set(
+        jnp.where(valid, stat,
+                  jnp.where(both[:na, :nb], 2.0 * g, cost[:na, :nb])))
     perms = jnp.asarray(
         _np.array(list(_it.permutations(range(big)))), jnp.int32)
     perm_costs = jax.vmap(
@@ -301,25 +293,7 @@ def inverse_covariance_intersection(xa, pa, xb, pb, omega=None,
         _, ld = jnp.linalg.slogdet(ia + ib - mix_inv)
         return -ld
 
-    gr = jnp.asarray(0.5 * (math.sqrt(5.0) - 1.0), dt)
-
-    def body(_, carry):
-        lo, hi, c, d, fc, fd = carry
-        go_left = fc < fd
-        lo2 = jnp.where(go_left, lo, c)
-        hi2 = jnp.where(go_left, d, hi)
-        c2 = hi2 - gr * (hi2 - lo2)
-        d2 = lo2 + gr * (hi2 - lo2)
-        f_new = obj(jnp.where(go_left, c2, d2))
-        return (lo2, hi2, c2, d2,
-                jnp.where(go_left, f_new, fd),
-                jnp.where(go_left, fc, f_new))
-
-    lo0, hi0 = jnp.zeros((), dt), jnp.ones((), dt)
-    c0 = hi0 - gr * (hi0 - lo0)
-    d0 = lo0 + gr * (hi0 - lo0)
-    lo, hi, _, _, _, _ = jax.lax.fori_loop(
-        0, iters, body, (lo0, hi0, c0, d0, obj(c0), obj(d0)))
-    w = 0.5 * (lo + hi)
+    w = linalg.golden_section(obj, jnp.zeros((), dt), jnp.ones((), dt),
+                              iters)
     x, p = fuse_at(w)
     return FusedEstimate(x, p, w)

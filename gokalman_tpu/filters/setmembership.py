@@ -42,7 +42,6 @@ No reference counterpart.
 
 from __future__ import annotations
 
-import math
 from typing import NamedTuple, Optional
 
 import jax
@@ -127,40 +126,23 @@ def step(model: Model, state: State, measurement, control=None):
         # minimize the bound's size; empty-intersection lam are +inf
         return jnp.where(alpha > 0, alpha * jnp.trace(p), jnp.inf)
 
-    gr = jnp.asarray(0.5 * (math.sqrt(5.0) - 1.0), dt)
-
-    def body(_, carry):
-        lo, hi, c_, d_, fc, fd = carry
-        go_left = fc < fd
-        lo2 = jnp.where(go_left, lo, c_)
-        hi2 = jnp.where(go_left, d_, hi)
-        c2 = hi2 - gr * (hi2 - lo2)
-        d2 = lo2 + gr * (hi2 - lo2)
-        f_new = obj(jnp.where(go_left, c2, d2))
-        return (lo2, hi2, c2, d2,
-                jnp.where(go_left, f_new, fd),
-                jnp.where(go_left, fc, f_new))
-
     # lam in [0, 1): lam = 1 drops the prior entirely (H'R^-1H is
     # singular for p < n, so the pure-measurement end is excluded)
-    lo0 = jnp.zeros((), dt)
-    hi0 = jnp.asarray(0.999, dt)
-    c0 = hi0 - gr * (hi0 - lo0)
-    d0 = lo0 + gr * (hi0 - lo0)
-    lo, hi, _, _, _, _ = jax.lax.fori_loop(
-        0, model.lam_iters, body, (lo0, hi0, c0, d0, obj(c0), obj(d0)))
-    lam = 0.5 * (lo + hi)
+    lam = linalg.golden_section(obj, jnp.zeros((), dt),
+                                jnp.asarray(0.999, dt), model.lam_iters)
     c_fit, p_fit, alpha = fuse(lam)
     consistent = alpha > 0
-    # lam = 0 keeps the prediction exactly (alpha = 1): the safe
-    # fallback when every lam empties (inconsistent measurement) and
-    # also when fusing would grow the set
-    c0_, p0_, _ = fuse(jnp.zeros((), dt))
-    better = consistent & (alpha * jnp.trace(p_fit) < jnp.trace(p0_))
-    c_new = jnp.where(better, c_fit, c0_)
-    x_new = linalg.sym(jnp.where(better, alpha * p_fit, p0_))
+    # lam = 0 keeps the prediction EXACTLY (alpha = 1 by construction
+    # — use c_pred/x_pred directly, not fuse(0), which would invert
+    # xinv back and lose digits at high condition): the safe fallback
+    # when every lam empties (inconsistent measurement) and also when
+    # fusing would grow the set
+    better = consistent & (alpha * jnp.trace(p_fit) < jnp.trace(x_pred))
+    c_new = jnp.where(better, c_fit, c_pred)
+    x_new = linalg.sym(jnp.where(better, alpha * p_fit, x_pred))
+    lam_out = jnp.where(better, lam, 0.0)  # the weight ACTUALLY applied
 
-    est = Estimate(c_new, x_new, consistent, lam, jnp.trace(x_new))
+    est = Estimate(c_new, x_new, consistent, lam_out, jnp.trace(x_new))
     return State(c_new, x_new, state.k + 1), est
 
 

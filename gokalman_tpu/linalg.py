@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import functools
 
+import math
+
 import jax
 import jax.numpy as jnp
 
@@ -328,3 +330,35 @@ def is_within_nsigma(state: jax.Array, covar: jax.Array, n_sigma) -> jax.Array:
     """
     bound = n_sigma * jnp.sqrt(jnp.diagonal(covar, axis1=-2, axis2=-1))
     return jnp.all(jnp.abs(state) <= bound, axis=-1)
+
+
+def golden_section(obj, lo, hi, iters: int):
+    """Branch-free golden-section minimizer of a unimodal scalar
+    `obj` on [lo, hi]: fixed `iters` fori_loop, exactly ONE objective
+    evaluation per iteration (the surviving probe's value is carried —
+    the golden-ratio identity gr^2 = 1 - gr makes the reused probe
+    land exactly on the new grid point).  Returns the bracket
+    midpoint.  Shared by fusion.covariance_intersection / ICI and
+    setmembership.step (previously three diverging copies)."""
+    lo = jnp.asarray(lo)
+    hi = jnp.asarray(hi)
+    dt = lo.dtype
+    gr = jnp.asarray(0.5 * (math.sqrt(5.0) - 1.0), dt)
+
+    def body(_, carry):
+        lo_, hi_, c_, d_, fc, fd = carry
+        go_left = fc < fd
+        lo2 = jnp.where(go_left, lo_, c_)
+        hi2 = jnp.where(go_left, d_, hi_)
+        c2 = hi2 - gr * (hi2 - lo2)
+        d2 = lo2 + gr * (hi2 - lo2)
+        f_new = obj(jnp.where(go_left, c2, d2))
+        return (lo2, hi2, c2, d2,
+                jnp.where(go_left, f_new, fd),
+                jnp.where(go_left, fc, f_new))
+
+    c0 = hi - gr * (hi - lo)
+    d0 = lo + gr * (hi - lo)
+    lo_f, hi_f, _, _, _, _ = jax.lax.fori_loop(
+        0, iters, body, (lo, hi, c0, d0, obj(c0), obj(d0)))
+    return 0.5 * (lo_f + hi_f)

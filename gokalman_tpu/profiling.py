@@ -46,3 +46,34 @@ def time_fn(fn, *args, warmup: int = 1, iters: int = 3):
 def annotate(name: str):
     """Named trace region (shows up in the profiler timeline)."""
     return jax.profiler.TraceAnnotation(name)
+
+
+def backend_watchdog(timeout_s: float, name: str = "bench") -> None:
+    """Guard against the wedged tunneled backend, whose failure mode
+    hangs even jax.devices() (backend registration): probe device
+    acquisition from a daemon thread and exit(2) with a diagnostic
+    after `timeout_s` instead of stalling the caller forever.
+    Shared by bench.py and bench_od.py (BENCH_BACKEND_TIMEOUT)."""
+    import os
+    import sys
+    import threading
+
+    import jax
+
+    done = threading.Event()
+
+    def probe():
+        try:
+            jax.devices()
+        finally:
+            done.set()
+
+    threading.Thread(target=probe, daemon=True).start()
+    if not done.wait(timeout_s):
+        print(
+            f"{name}: backend unreachable after {timeout_s:.0f}s "
+            "(axon tunnel wedged?) — aborting instead of hanging",
+            file=sys.stderr,
+            flush=True,
+        )
+        os._exit(2)

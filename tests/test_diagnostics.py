@@ -360,3 +360,48 @@ def test_glr_calibration_and_detection_under_noise():
     assert (np.abs(onsets - theta) <= 4).mean() == 1.0, onsets  # all runs localize the jump (late-biased by H E = 0 at onset)
     d_at = np.asarray(det1.jump_mle)[np.arange(runs), onsets, 0]
     assert abs(np.median(d_at) - d_true) < 0.12, np.median(d_at)
+
+
+def test_glr_survives_masked_measurement_steps():
+    """Regression (review find, measured): a meas_mask-ed component's
+    exactly-zero gain column made K'K singular and NaN-poisoned every
+    onset whose window covered that step — the jump was silently
+    missed.  Masked components are now excised per step; the detector
+    stays finite and still finds the jump."""
+    import jax
+    from gokalman_tpu import noise as gn
+    from gokalman_tpu.filters import vanilla
+    from gokalman_tpu.diagnostics import glr_detect
+
+    rng = np.random.default_rng(3)
+    f = np.array([[1.0, 1.0], [0.0, 1.0]])
+    q = 5e-4 * np.array([[1 / 3, 1 / 2], [1 / 2, 1.0]])
+    h = np.eye(2)
+    r = np.diag([0.25, 0.04])
+    e = np.array([[0.0], [1.0]])
+    lq = np.linalg.cholesky(q)
+    T, theta, d_true = 50, 25, 0.8
+    m, s = vanilla.new(jnp.zeros(2), jnp.eye(2), jnp.asarray(f), None,
+                       jnp.asarray(h),
+                       gn.noiseless(jnp.asarray(q), jnp.asarray(r)))
+    x = np.zeros(2)
+    ests = []
+    st = s
+    for k in range(T):
+        x = f @ x + lq @ rng.standard_normal(2)
+        if k == theta:
+            x = x + e[:, 0] * d_true
+        y = x + np.sqrt(np.diag(r)) * rng.standard_normal(2)
+        mask = np.array([True, k not in (22, 28)])  # drop v-comp twice
+        st, est = vanilla.step(m, st, jnp.asarray(y),
+                               meas_mask=jnp.asarray(mask))
+        ests.append(est)
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *ests)
+    res = glr_detect(f, h, e, stacked, threshold=25.0, window=8)
+    assert np.isfinite(np.asarray(res.glr)).all()
+    assert bool(res.detected)
+    assert abs(int(res.onset) - theta) <= 3, int(res.onset)
+    # and the r= direct-S path agrees on detection
+    res2 = glr_detect(f, h, e, stacked, threshold=25.0, window=8, r=r)
+    assert np.isfinite(np.asarray(res2.glr)).all()
+    assert bool(res2.detected)

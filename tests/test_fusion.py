@@ -252,9 +252,35 @@ def test_associate_tracks_matches_brute_force_optimum():
     a, s = fusion.associate_tracks(xa, pa, np.ones(2, bool), xb, pa,
                                    np.ones(2, bool), gate=16.0)
     assert list(np.asarray(a)) == [0, 1]
-    # brute-force oracle over all matchings on random scenes
+    # brute-force oracle over all GATED matchings on random scenes:
+    # objective = sum(matched stats) + gate * (#unmatched_a + #unmatched_b)
     rng = np.random.default_rng(0)
     import itertools
+
+    gate = 16.0
+
+    def total_cost(xa_, xb_, pairs, n_a, n_b):
+        t_ = 0.0
+        used_b = set()
+        for i, j in pairs:
+            t_ += (xa_[i, 0] - xb_[j, 0]) ** 2 / 2.0
+            used_b.add(j)
+        t_ += gate * (n_a - len(pairs)) + gate * (n_b - len(used_b))
+        return t_
+
+    def brute_force(xa_, xb_, n_a, n_b):
+        best = np.inf
+        for k in range(min(n_a, n_b) + 1):
+            for rows in itertools.combinations(range(n_a), k):
+                for cols in itertools.permutations(range(n_b), k):
+                    pairs = [(i, j) for i, j in zip(rows, cols)
+                             if (xa_[i, 0] - xb_[j, 0]) ** 2 / 2.0
+                             <= gate]
+                    if len(pairs) < k:
+                        continue
+                    best = min(best, total_cost(xa_, xb_, pairs,
+                                                n_a, n_b))
+        return best
 
     for _ in range(10):
         xa_ = rng.uniform(-3, 3, (3, 1))
@@ -262,28 +288,36 @@ def test_associate_tracks_matches_brute_force_optimum():
         pa_ = np.broadcast_to(np.eye(1), (3, 1, 1))
         a_, s_ = fusion.associate_tracks(xa_, pa_, np.ones(3, bool),
                                          xb_, pa_, np.ones(3, bool),
-                                         gate=16.0)
-        gate = 16.0
+                                         gate=gate)
+        got = [(i, int(j)) for i, j in enumerate(np.asarray(a_))
+               if j >= 0]
+        assert total_cost(xa_, xb_, got, 3, 3) <=             brute_force(xa_, xb_, 3, 3) + 1e-9
 
-        def cost_of(assign):
-            tot, used = 0.0, set()
-            for i, j in enumerate(assign):
-                st = (xa_[i, 0] - xb_[j, 0]) ** 2 / 2.0
-                tot += min(st, gate)
-            return tot
 
-        best = min(itertools.permutations(range(3)), key=cost_of)
-        got = [j for j in np.asarray(a_)]
-        # compare total cost (ties can permute assignments)
-        def total(assign_list):
-            t = 0.0
-            for i, j in enumerate(assign_list):
-                if j >= 0:
-                    t += min((xa_[i, 0] - xb_[j, 0]) ** 2 / 2.0, gate)
-                else:
-                    t += gate
-            return t
-        assert total(got) <= cost_of(best) + 1e-9
+def test_associate_tracks_per_side_unmatched_cost():
+    """Regression (review find, measured): a single-gate cost for a
+    dropped real-real pair let the optimizer unmatch BOTH sides at
+    half price — stats [[15, inf], [14, 15.9]] at gate 16 returned
+    [-1, 0] (a0 dropped despite an in-gate partner, 3 output tracks
+    for 2 targets).  Per-side accounting keeps both matches."""
+    # build 1-D tracks realizing those statistics: stat = d^2/2
+    pa = np.broadcast_to(np.eye(1), (2, 1, 1))
+    xa = np.array([[0.0], [100.0 + np.sqrt(2 * 14.0)]])
+    xb = np.array([[np.sqrt(2 * 15.0)], [100.0 + np.sqrt(2 * 14.0)
+                                         + np.sqrt(2 * 15.9) * 0]])
+    # simpler: place b0 between a0 and a1 so a0-b0=15, a1-b0=14,
+    # and b1 near a1 with a1-b1=15.9, a0-b1 far
+    d00, d10, d11 = np.sqrt(2 * 15.0), np.sqrt(2 * 14.0), np.sqrt(2 * 15.9)
+    xa = np.array([[0.0], [d00 + d10]])
+    xb = np.array([[d00], [d00 + d10 + d11]])
+    stats = (xa - xb.T) ** 2 / 2.0
+    assert abs(stats[0, 0] - 15.0) < 1e-9
+    assert abs(stats[1, 0] - 14.0) < 1e-9
+    assert abs(stats[1, 1] - 15.9) < 1e-9
+    assert stats[0, 1] > 16.0
+    a, s = fusion.associate_tracks(xa, pa, np.ones(2, bool), xb, pa,
+                                   np.ones(2, bool), gate=16.0)
+    assert list(np.asarray(a)) == [0, 1], list(np.asarray(a))
 
 
 def test_associate_tracks_gating_and_masks():

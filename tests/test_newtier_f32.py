@@ -274,3 +274,21 @@ def test_pmb_fusion_sise_f32():
     assert es_.state.dtype == jnp.float32
     assert np.isfinite(np.asarray(es_.input)).all()
     assert abs(float(np.asarray(es_.input)[30:, 0].mean()) - 0.5) < 0.2
+
+
+def test_setmembership_f32():
+    from gokalman_tpu.filters import setmembership as smf
+
+    f = jnp.asarray([[1.0, 0.5], [0.0, 1.0]], jnp.float32)
+    h = jnp.asarray([[1.0, 0.0]], jnp.float32)
+    q = jnp.asarray(np.diag([0.02, 0.08]), jnp.float32)
+    r = jnp.asarray([[0.09]], jnp.float32)
+    rng = np.random.default_rng(5)
+    m, s = smf.new(jnp.zeros(2, jnp.float32),
+                   0.5 * jnp.eye(2, dtype=jnp.float32), f, None, h,
+                   gn.noiseless(q, r))
+    ys = jnp.asarray(0.3 * rng.standard_normal((40, 1)), jnp.float32)
+    _, est = smf.run(m, s, ys)
+    assert est.shape.dtype == jnp.float32
+    assert np.isfinite(np.asarray(est.shape)).all()
+    assert (np.asarray(est.trace) > 0).all()

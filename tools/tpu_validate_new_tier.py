@@ -8,8 +8,9 @@ Small shapes (T<=100) keep each compile short on the tunneled backend.
 Covers: studentt, VB-adaptive, quadrature, MEKF+USQUE, JPDA, IMM-PDAF,
 tracker, GM-PHD, GM-CPHD, OSPA, OOSM/fading/correlated, IPLF/augmented
 UKF, rigid-body dynamics, two-filter/Kim/EnKS/FFBS smoothers, PMB,
-fusion (CI), SISE, N4SID (17 legs).  Prints one OK line per leg; any
-exception is a real failure.
+fusion (CI/ICI/associate), SISE, GLR, N4SID, set-membership
+(19 legs).  Prints one OK line per leg; any exception is a real
+failure.
 """
 
 import sys
@@ -282,6 +283,18 @@ def main():
             f2, h2, jnp.asarray([[0.0], [1.0]], jnp.float32), ev,
             threshold=25.0, window=8))()
         assert np.isfinite(np.asarray(res.glr)).all()
+
+    @leg("setmembership")
+    def _():
+        from gokalman_tpu.filters import setmembership as smf
+
+        m, s_ = smf.new(x0, p0, f2, None, h2,
+                        gk.noise.noiseless(
+                            0.05 * jnp.eye(2, dtype=jnp.float32),
+                            jnp.asarray([[0.25]], jnp.float32)))
+        _, e = jax.jit(lambda y: smf.run(m, s_, y))(0.1 * ys2)
+        assert np.isfinite(np.asarray(e.shape)).all()
+        assert np.asarray(e.trace).min() > 0
 
     @leg("n4sid")
     def _():

@@ -15,6 +15,11 @@ is asserted, not just printed):
 3. Exact physical side-knowledge (here: total momentum of a two-cart
    system is conserved) -> `constrained` projection beats everything
    that ignores the constraint, and satisfies it to roundoff.
+4. Noise with BOUNDS but no distribution (quantization-style) ->
+   `setmembership` ellipsoids: the truth is inside the set at EVERY
+   step (a guarantee no stochastic filter offers — the tuned KF's
+   2-sigma ellipsoid misses on a measurable fraction of steps), at
+   the price of a larger set.
 
 Run: env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu python examples/robust_estimation.py
 """
@@ -147,8 +152,58 @@ def constraint_scenario():
     assert r_c < r_u, "projection must beat the unconstrained CKF"
 
 
+# ---------------------------------------------------------------- threat 4
+def bounded_noise_scenario():
+    """Uniform (bounded, non-Gaussian) noise: the set-membership filter
+    certifies containment at every step; a KF tuned to the matching
+    variances cannot."""
+    from gokalman_tpu.filters import setmembership as sm
+
+    rng = np.random.default_rng(4)
+    f = np.array([[1.0, DT], [0.0, 1.0]])
+    h = np.array([[1.0, 0.0]])
+    wb = np.array([0.02, 0.06])   # |w_i| <= wb_i
+    vb = 0.3                      # |v| <= vb
+    # ellipsoid bounds: box's circumscribed ellipsoid diag(n * b^2)
+    q_ell = np.diag(2 * wb**2)
+    r_ell = np.array([[vb**2]])
+    steps = 300
+    x = np.zeros(2)
+    xs, ys = [], []
+    for _ in range(steps):
+        x = f @ x + rng.uniform(-wb, wb)
+        xs.append(x.copy())
+        ys.append(h @ x + rng.uniform(-vb, vb, 1))
+    xs = np.stack(xs)
+    ys = jnp.asarray(np.stack(ys))
+    model, state0 = sm.new(jnp.zeros(2), 0.25 * jnp.eye(2), f, None, h,
+                           gn.noiseless(jnp.asarray(q_ell),
+                                        jnp.asarray(r_ell)))
+    _, est = sm.run(model, state0, ys)
+    d = xs - np.asarray(est.center)
+    m = np.einsum("ti,tij,tj->t", d,
+                  np.linalg.inv(np.asarray(est.shape)), d)
+    # matched-variance KF (uniform[-b,b] variance = b^2/3)
+    kq = np.diag(wb**2 / 3.0)
+    kr = np.array([[vb**2 / 3.0]])
+    km, ks = vanilla.new(jnp.zeros(2), 0.25 * jnp.eye(2),
+                         jnp.asarray(f), None, jnp.asarray(h),
+                         gn.noiseless(jnp.asarray(kq), jnp.asarray(kr)))
+    _, ek = vanilla.run(km, ks, ys)
+    dk = xs - np.asarray(ek.state)
+    mk = np.einsum("ti,tij,tj->t", dk,
+                   np.linalg.inv(np.asarray(ek.covariance)), dk)
+    kf_miss = float((mk > 4.0).mean())  # outside 2-sigma
+    print(f"[bounded]    set-membership containment "
+          f"{float((m <= 1.0).mean()):.3f} (worst {m.max():.3f})  "
+          f"vs KF outside-2sigma rate {kf_miss:.3f}")
+    assert m.max() <= 1.0 + 1e-9  # the guarantee
+    assert kf_miss > 0.01  # the KF certifies nothing
+
+
 if __name__ == "__main__":
     outlier_scenario()
     disturbance_scenario()
     constraint_scenario()
+    bounded_noise_scenario()
     print("all robust-estimation claims verified")

@@ -297,3 +297,58 @@ def inverse_covariance_intersection(xa, pa, xb, pb, omega=None,
                               iters)
     x, p = fuse_at(w)
     return FusedEstimate(x, p, w)
+
+
+@linalg.highp
+def covariance_intersection_n(xs, ps, sweeps: int = 8,
+                              iters: int = 30) -> FusedEstimate:
+    """N-estimate covariance intersection: P_f^-1 = sum_i w_i P_i^-1
+    over the simplex (sum w = 1, w >= 0) — consistent for EVERY
+    feasible joint correlation at ANY simplex point (each candidate is
+    an upper bound; optimization only tightens).  Sequential pairwise
+    CI is a valid but weight-suboptimal special case (pinned: the
+    joint optimum is never looser).
+
+    Weight search: cyclic coordinate descent on the simplex — each
+    sweep golden-sections one weight against the rest (renormalized),
+    `sweeps` passes of `iters` iterations; -logdet(sum w_i I_i) is
+    convex over the simplex so coordinate descent converges.  N == 2
+    reduces to `covariance_intersection` (pinned).
+
+    `xs` [N, n], `ps` [N, n, n].  Returns omega = the weight on
+    estimate 0."""
+    xs, ps = jnp.asarray(xs), jnp.asarray(ps)
+    n_est = xs.shape[0]
+    dt = ps.dtype
+    infos = jax.vmap(linalg.inv_psd)(ps)  # [N, n, n]
+    ys = jnp.einsum("nij,nj->ni", infos, xs)  # [N, n]
+
+    def obj_w(w):
+        _, ld = jnp.linalg.slogdet(jnp.einsum("n,nij->ij", w, infos))
+        return -ld
+
+    def sweep_coord(w, i):
+        # reoptimize w[i] = t against the others scaled by (1-t)
+        others = w.at[i].set(0.0)
+        others_sum = jnp.maximum(jnp.sum(others), 1e-30)
+        others = others / others_sum
+
+        def obj_t(t):
+            return obj_w((1.0 - t) * others
+                         + t * jnp.zeros_like(w).at[i].set(1.0))
+
+        t = linalg.golden_section(obj_t, jnp.zeros((), dt),
+                                  jnp.ones((), dt), iters)
+        return (1.0 - t) * others + t * jnp.zeros_like(w).at[i].set(1.0)
+
+    def one_sweep(w, _):
+        w = jax.lax.fori_loop(0, n_est,
+                              lambda i, w_: sweep_coord(w_, i), w)
+        return w, None
+
+    w0 = jnp.full((n_est,), 1.0 / n_est, dt)
+    w, _ = jax.lax.scan(one_sweep, w0, None, length=sweeps)
+    lam = jnp.einsum("n,nij->ij", w, infos)
+    p = linalg.inv_psd(linalg.sym(lam))
+    x = p @ jnp.einsum("n,ni->i", w, ys)
+    return FusedEstimate(x, linalg.sym(p), w[0])

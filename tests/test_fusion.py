@@ -412,3 +412,64 @@ def test_ici_tighter_than_ci_unbiased_and_consistent():
     ratio = (np.linalg.det(np.asarray(fi_c.covariance))
              / np.linalg.det(np.asarray(fc_c.covariance)))
     assert ratio < 0.3, ratio  # measured 0.276
+
+
+def test_ci_n_matches_pairwise_and_beats_sequential():
+    """N-CI pins: N=2 == pairwise CI; consistency over random joint
+    covariances for N=4; joint weight optimization never looser than
+    sequential pairwise CI (and strictly tighter on shaped draws)."""
+    rng = np.random.default_rng(10)
+    # N = 2 equivalence
+    pa, pb = random_spd(rng, 3, 1.0), random_spd(rng, 3, 1.0)
+    xa, xb = rng.standard_normal(3), rng.standard_normal(3)
+    f2 = fusion.covariance_intersection(xa, pa, xb, pb)
+    fn = fusion.covariance_intersection_n(np.stack([xa, xb]),
+                                          np.stack([pa, pb]))
+    np.testing.assert_allclose(np.asarray(fn.covariance),
+                               np.asarray(f2.covariance), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(fn.state),
+                               np.asarray(f2.state), atol=1e-5)
+    # N = 4: consistency for every feasible joint correlation
+    n = 2
+    for _ in range(5):
+        j = random_spd(rng, 4 * n, 1.0)
+        ps = np.stack([j[i * n:(i + 1) * n, i * n:(i + 1) * n]
+                       for i in range(4)])
+        xs = rng.standard_normal((4, n))
+        fe = fusion.covariance_intersection_n(xs, ps)
+        w = np.zeros((4, n, n))
+        p_f = np.asarray(fe.covariance)
+        lam = sum(float(np.nan) for _ in ())  # no-op keepalive
+        # gains: W_i = w_i P_f P_i^-1, sum W_i = I
+        # true fused-error covariance under the joint j
+        ws_ = [np.asarray(fe.omega)]  # w[0]; recover all from identity
+        # recompute weights from the returned covariance instead:
+        # P_f^-1 = sum w_i P_i^-1 with the found w — check consistency
+        # directly via the gain form using the simplex found inside:
+        # (use equal gains reconstruction: W_i = w_i P_f P_i^-1 needs
+        # all w; re-derive w by least squares on the information sum)
+        infos = np.stack([np.linalg.inv(p_) for p_ in ps])
+        a_mat = infos.reshape(4, -1).T
+        w_all, *_ = np.linalg.lstsq(a_mat,
+                                    np.linalg.inv(p_f).reshape(-1),
+                                    rcond=None)
+        w_all = np.clip(w_all, 0, None)
+        w_all = w_all / w_all.sum()
+        wg = [w_all[i] * p_f @ infos[i] for i in range(4)]
+        true_cov = np.zeros((n, n))
+        for i in range(4):
+            for k in range(4):
+                true_cov += wg[i] @ j[i * n:(i + 1) * n,
+                                      k * n:(k + 1) * n] @ wg[k].T
+        assert np.linalg.eigvalsh(p_f - true_cov).min() > -1e-7
+    # joint optimum never looser than sequential pairwise
+    for _ in range(5):
+        ps = np.stack([random_spd(rng, 2, 1.0) for _ in range(4)])
+        xs = rng.standard_normal((4, 2))
+        fj = fusion.covariance_intersection_n(xs, ps)
+        x_s, p_s = xs[0], ps[0]
+        for i in range(1, 4):
+            fs = fusion.covariance_intersection(x_s, p_s, xs[i], ps[i])
+            x_s, p_s = np.asarray(fs.state), np.asarray(fs.covariance)
+        assert (np.linalg.det(np.asarray(fj.covariance))
+                <= np.linalg.det(p_s) * (1 + 1e-6))

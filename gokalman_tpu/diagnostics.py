@@ -490,3 +490,93 @@ def glr_detect(f, h, e, ests, threshold: float, window: int = 12,
     onset = jnp.argmax(glr)
     return GLRResult(glr, d_mle, onset,
                      glr[onset] > jnp.asarray(threshold, f.dtype))
+
+
+class GospaResult(NamedTuple):
+    gospa: jax.Array  # [] the metric
+    localization: jax.Array  # [] sum d^p over matched pairs
+    missed: jax.Array  # [] (c^p / alpha) * n_missed_truths
+    false: jax.Array  # [] (c^p / alpha) * n_false_estimates
+
+
+def gospa(est_points, est_mask, truth_points, truth_mask, cutoff: float,
+          order: float = 2.0, alpha: float = 2.0):
+    """GOSPA (Rahmathullah, Garcia-Fernandez & Svensson 2017): the
+    modern successor to OSPA — a multi-target metric that DECOMPOSES
+    into localization error + missed-target cost + false-track cost
+    (OSPA's single cardinality term cannot say WHICH side erred, and
+    its 1/n_max normalization lets extra false tracks dilute the
+    per-target error):
+
+        GOSPA^p = min over assignments [ sum_matched d^p
+                    + (c^p / alpha) (n_missed + n_false) ]
+
+    with a pair only worth matching when d < c (at alpha = 2, the
+    standard choice, matching beats paying both halves exactly when
+    d^p < c^p).  Same padded-set inputs and exact trace-time
+    permutation enumeration as `ospa` (sizes <= 8); a real-real
+    non-match costs the full c^p (both sides' halves), a real-padded
+    cell c^p/alpha, padded-padded 0 — the per-side accounting of
+    fusion.associate_tracks.  Returns (gospa, localization, missed,
+    false) with gospa = (loc + missed + false)^(1/p); vmap over time
+    for traces.  Unnormalized by construction (GOSPA's point): more
+    targets => larger metric.
+    """
+    import itertools as _it
+
+    import numpy as _np
+
+    est_points = jnp.asarray(est_points)
+    truth_points = jnp.asarray(truth_points)
+    m = est_points.shape[0]
+    n = truth_points.shape[0]
+    if max(m, n) > 8:
+        raise ValueError(
+            f"gospa enumerates assignments exactly; padded sizes up to "
+            f"8 supported (got {m}x{n}) — split larger scenes")
+    big = max(m, n)
+    perms = jnp.asarray(
+        _np.array(list(_it.permutations(range(big)))), jnp.int32)
+    em = jnp.concatenate([jnp.asarray(est_mask, bool),
+                          jnp.zeros((big - m,), bool)])
+    tm = jnp.concatenate([jnp.asarray(truth_mask, bool),
+                          jnp.zeros((big - n,), bool)])
+    dt = est_points.dtype
+    c = jnp.asarray(cutoff, dt)
+    cp = c ** order
+    d_pad = est_points.shape[1]
+    ep = jnp.concatenate(
+        [est_points, jnp.zeros((big - m, d_pad), dt)], axis=0)
+    tp = jnp.concatenate(
+        [truth_points, jnp.zeros((big - n, d_pad), dt)], axis=0)
+    ep = jnp.where(em[:, None], ep, 0.0)
+    tp = jnp.where(tm[:, None], tp, 0.0)
+    dist = jnp.linalg.norm(ep[:, None, :] - tp[None, :, :], axis=2)
+    both = em[:, None] & tm[None, :]
+    one = em[:, None] ^ tm[None, :]
+    matched_ok = both & (dist < c)
+    # localization cost when matched; both-unmatched = 2 halves = c^p;
+    # one-sided = c^p/alpha; both padded = 0
+    cost = jnp.where(matched_ok, dist ** order,
+                     jnp.where(both, cp,
+                               jnp.where(one, cp / alpha, 0.0)))
+    loc_part = jnp.where(matched_ok, dist ** order, 0.0)
+
+    def perm_cost(perm):
+        return jnp.sum(cost[jnp.arange(big), perm])
+
+    costs = jax.vmap(perm_cost)(perms)
+    k = jnp.argmin(costs)
+    best_perm = perms[k]
+    total = costs[k]
+    rows = jnp.arange(big)
+    match_flag = matched_ok[rows, best_perm]
+    loc = jnp.sum(loc_part[rows, best_perm])
+    n_matched = jnp.sum(match_flag.astype(dt))
+    n_missed = jnp.sum(tm.astype(dt)) - n_matched
+    n_false = jnp.sum(em.astype(dt)) - n_matched
+    missed = cp / alpha * n_missed
+    false_ = cp / alpha * n_false
+    g = (loc + missed + false_) ** (1.0 / order)
+    # sanity: the decomposition reproduces the optimized total
+    return GospaResult(g, loc, missed, false_)

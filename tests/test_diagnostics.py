@@ -405,3 +405,76 @@ def test_glr_survives_masked_measurement_steps():
     res2 = glr_detect(f, h, e, stacked, threshold=25.0, window=8, r=r)
     assert np.isfinite(np.asarray(res2.glr)).all()
     assert bool(res2.detected)
+
+
+def test_gospa_hand_cases_and_brute_force():
+    from gokalman_tpu.diagnostics import gospa
+    import itertools
+
+    c, p = 5.0, 2.0
+    # one matched pair at distance 1, one missed truth
+    est = np.array([[0.0, 0.0]])
+    tru = np.array([[1.0, 0.0], [100.0, 0.0]])
+    r = gospa(est, np.ones(1, bool), tru, np.ones(2, bool), c, p)
+    np.testing.assert_allclose(float(r.localization), 1.0)
+    np.testing.assert_allclose(float(r.missed), c**2 / 2)
+    np.testing.assert_allclose(float(r.false), 0.0)
+    np.testing.assert_allclose(float(r.gospa),
+                               np.sqrt(1.0 + c**2 / 2))
+    # false track only
+    r2 = gospa(est, np.ones(1, bool), tru, np.zeros(2, bool), c, p)
+    np.testing.assert_allclose(float(r2.gospa), np.sqrt(c**2 / 2))
+    np.testing.assert_allclose(float(r2.false), c**2 / 2)
+    # beyond-cutoff pair: better to declare one missed + one false
+    r3 = gospa(np.array([[0.0, 0.0]]), np.ones(1, bool),
+               np.array([[10.0, 0.0]]), np.ones(1, bool), c, p)
+    np.testing.assert_allclose(float(r3.gospa), np.sqrt(c**2))
+    # brute-force oracle on random masked scenes
+    rng = np.random.default_rng(0)
+    for _ in range(15):
+        m_, n_ = rng.integers(1, 4), rng.integers(1, 4)
+        est = rng.uniform(-4, 4, (int(m_), 2))
+        tru = rng.uniform(-4, 4, (int(n_), 2))
+        em = rng.random(int(m_)) < 0.8
+        tm = rng.random(int(n_)) < 0.8
+
+        def brute():
+            ei = [i for i in range(int(m_)) if em[i]]
+            ti = [j for j in range(int(n_)) if tm[j]]
+            best = np.inf
+            for k in range(min(len(ei), len(ti)) + 1):
+                for rows in itertools.combinations(ei, k):
+                    for cols in itertools.permutations(ti, k):
+                        ds = [np.linalg.norm(est[i] - tru[j])
+                              for i, j in zip(rows, cols)]
+                        if any(d >= c for d in ds):
+                            continue
+                        tot = sum(d**p for d in ds) \
+                            + c**p / 2 * (len(ti) - k) \
+                            + c**p / 2 * (len(ei) - k)
+                        best = min(best, tot)
+            return best ** (1 / p)
+
+        r = gospa(est, em, tru, tm, c, p)
+        np.testing.assert_allclose(float(r.gospa), brute(), rtol=1e-9)
+        # decomposition identity
+        np.testing.assert_allclose(
+            float(r.gospa),
+            (float(r.localization) + float(r.missed)
+             + float(r.false)) ** (1 / p), rtol=1e-12)
+
+
+def test_gospa_separates_missed_from_false_where_ospa_cannot():
+    """The reason GOSPA exists: same OSPA for a missed target and a
+    false track; GOSPA's decomposition names the failure."""
+    from gokalman_tpu.diagnostics import gospa
+
+    tru = np.array([[0.0, 0.0], [10.0, 0.0]])
+    est_missing = np.array([[0.1, 0.0], [0.0, 0.0]])
+    m_missing = np.array([True, False])  # misses truth #2
+    est_extra = np.array([[0.1, 0.0], [10.1, 0.0], [50.0, 0.0]])
+    r_miss = gospa(est_missing, m_missing, tru, np.ones(2, bool), 5.0)
+    r_false = gospa(est_extra, np.ones(3, bool), tru,
+                    np.ones(2, bool), 5.0)
+    assert float(r_miss.missed) > 0 and float(r_miss.false) == 0
+    assert float(r_false.false) > 0 and float(r_false.missed) == 0

@@ -112,3 +112,45 @@ def test_checkpoint_roundtrips_ensemble_and_particle_states(tmp_path):
         back = checkpoint.restore(p, state)
         for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(back)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_roundtrips_session3_states(tmp_path):
+    """Mid-run save/restore for the round-3 tier's state pytrees:
+    PMB (int labels + mixed shapes), set-membership ellipsoids, SISE,
+    and a tracker bank — int32 leaves and bool masks must survive
+    exactly."""
+    import jax
+    import numpy as np
+
+    from gokalman_tpu import checkpoint
+    from gokalman_tpu import noise as gn
+    from gokalman_tpu.filters import pmb, setmembership, sise, tracker
+
+    f = jnp.eye(4).at[0, 1].set(1.0)
+    h = jnp.asarray(np.kron(np.eye(2), [[1.0, 0.0]]))
+    q, r = 0.01 * jnp.eye(4), 0.1 * jnp.eye(2)
+    nz = gn.noiseless(q, r)
+    bm = jnp.zeros((1, 4))
+    bp = 4.0 * jnp.eye(4)[None]
+    _, s_pmb = pmb.new(f, None, h, nz, jnp.asarray([0.05]), bm, bp,
+                       j_max=4, t_max=4)
+    s_pmb = s_pmb._replace(r=s_pmb.r.at[0].set(0.7),
+                           labels=s_pmb.labels.at[0].set(
+                               jnp.asarray([3, 1], jnp.int32)))
+    _, s_sm = setmembership.new(jnp.zeros(2), jnp.eye(2),
+                                jnp.eye(2), None, jnp.eye(2)[:1],
+                                gn.noiseless(0.1 * jnp.eye(2),
+                                             jnp.asarray([[0.1]])))
+    _, s_si = sise.new(jnp.zeros(4), jnp.eye(4), f, None, jnp.eye(4),
+                       jnp.asarray([[0.0], [1.0], [0.0], [0.0]]),
+                       gn.noiseless(q, 0.1 * jnp.eye(4)))
+    _, s_tr = tracker.new(f, None, h, nz, n_slots=4,
+                          p0_new=0.2 * jnp.eye(4))
+    for name, state in (("pmb", s_pmb), ("sm", s_sm), ("sise", s_si),
+                        ("trk", s_tr)):
+        p = str(tmp_path / name)
+        checkpoint.save(p, state)
+        back = checkpoint.restore(p, state)
+        for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(back)):
+            assert np.asarray(a).dtype == np.asarray(b).dtype
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

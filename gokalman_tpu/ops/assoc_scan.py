@@ -63,16 +63,27 @@ def _combine(ei: _Elem, ej: _Elem) -> _Elem:
     return _Elem(a, b, c, eta, j)
 
 
+def identity_elem(n: int, dtype) -> _Elem:
+    """The combine's identity: (I, 0, 0, 0, 0).  Used as the block
+    prefix on device 0 of the time-sharded distributed scan
+    (parallel/time_scan.py)."""
+    eye = jnp.eye(n, dtype=dtype)
+    z = jnp.zeros((n,), dtype)
+    zm = jnp.zeros((n, n), dtype)
+    return _Elem(eye, z, zm, z, zm)
+
+
 @linalg.highp
-def filter_parallel(
+def filter_elements(
     model: vanilla.Model,
     state0: vanilla.State,
     measurements: jax.Array,
     controls: Optional[jax.Array] = None,
-):
-    """All filtered (means [T, n], covariances [T, n, n]) in O(log T)
-    parallel depth.  Produces the same posteriors as scanning
-    vanilla.step over the measurements (noiseless-replay semantics)."""
+) -> _Elem:
+    """Per-step scan elements for the parallel-in-time filter — the
+    vectorized element construction of `filter_parallel`, exposed so
+    the time-sharded distributed scan can build elements once and scan
+    them across devices."""
     f, h = model.f, model.h
     q, r = model.noise.q, model.noise.r
     t = measurements.shape[0]
@@ -116,19 +127,53 @@ def filter_parallel(
     c = c.at[0].set(c0)
     eta = eta.at[0].set(jnp.zeros((n,), dtype))
     j = j.at[0].set(jnp.zeros((n, n), dtype))
-
-    out = jax.lax.associative_scan(_combine, _Elem(a, b, c, eta, j))
-    return out.b, out.c
+    return _Elem(a, b, c, eta, j)
 
 
 @linalg.highp
-def smooth_parallel(model: vanilla.Model, means, covs):
-    """Parallel-in-time RTS smoother over filtered (means, covs):
-    all smoothed means/covariances in O(log T) depth (Särkkä &
-    García-Fernández 2021, §IV).  Elements (E_k, g_k, L_k):
+def filter_parallel(
+    model: vanilla.Model,
+    state0: vanilla.State,
+    measurements: jax.Array,
+    controls: Optional[jax.Array] = None,
+):
+    """All filtered (means [T, n], covariances [T, n, n]) in O(log T)
+    parallel depth.  Produces the same posteriors as scanning
+    vanilla.step over the measurements (noiseless-replay semantics)."""
+    out = jax.lax.associative_scan(
+        _combine, filter_elements(model, state0, measurements, controls)
+    )
+    return out.b, out.c
+
+
+class _SElem(NamedTuple):
+    e: jax.Array
+    g: jax.Array
+    l: jax.Array
+
+
+def _scomb(ej: _SElem, ei: _SElem) -> _SElem:
+    """Reverse-order smoother combine: (E, g, L)_i after (E, g, L)_j
+    (ej covers LATER time steps).  Batched over leading dims."""
+    ee = ei.e @ ej.e
+    gg = jnp.einsum("...ij,...j->...i", ei.e, ej.g) + ei.g
+    ll = linalg.sym(ei.e @ ej.l @ jnp.swapaxes(ei.e, -1, -2) + ei.l)
+    return _SElem(ee, gg, ll)
+
+
+def sidentity_elem(n: int, dtype) -> _SElem:
+    """Identity for `_scomb`: (I, 0, 0) — the block suffix on the last
+    device of the time-sharded distributed smoother."""
+    return _SElem(jnp.eye(n, dtype=dtype), jnp.zeros((n,), dtype),
+                  jnp.zeros((n, n), dtype))
+
+
+@linalg.highp
+def smoother_elements(model: vanilla.Model, means, covs) -> _SElem:
+    """Per-step reverse-scan elements for the parallel-in-time RTS
+    smoother (Särkkä & García-Fernández 2021, §IV):
       E_k = P_k F^T (F P_k F^T + Q)^{-1},  g_k = m_k - E_k F m_k,
-      L_k = P_k - E_k F P_k;  last element: (0, m_T, P_T).
-    Combined in reverse; prefix (g, L) are the smoothed moments."""
+      L_k = P_k - E_k F P_k;  last element: (0, m_T, P_T)."""
     f = model.f
     q = model.noise.q
     t, n = means.shape
@@ -144,18 +189,15 @@ def smooth_parallel(model: vanilla.Model, means, covs):
     e = e.at[-1].set(jnp.zeros((n, n), dtype))
     g = g.at[-1].set(means[-1])
     l = l.at[-1].set(covs[-1])
+    return _SElem(e, g, l)
 
-    class _SElem(NamedTuple):
-        e: jax.Array
-        g: jax.Array
-        l: jax.Array
 
-    def comb(ej, ei):
-        # Reverse-order combine: (E, g, L)_i after (E, g, L)_j.
-        ee = ei.e @ ej.e
-        gg = jnp.einsum("...ij,...j->...i", ei.e, ej.g) + ei.g
-        ll = linalg.sym(ei.e @ ej.l @ jnp.swapaxes(ei.e, -1, -2) + ei.l)
-        return _SElem(ee, gg, ll)
-
-    out = jax.lax.associative_scan(comb, _SElem(e, g, l), reverse=True)
+@linalg.highp
+def smooth_parallel(model: vanilla.Model, means, covs):
+    """Parallel-in-time RTS smoother over filtered (means, covs):
+    all smoothed means/covariances in O(log T) depth.  Combined in
+    reverse; prefix (g, L) are the smoothed moments."""
+    out = jax.lax.associative_scan(
+        _scomb, smoother_elements(model, means, covs), reverse=True
+    )
     return out.g, out.l

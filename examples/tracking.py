@@ -26,6 +26,10 @@ asserted:
    extraction drives OSPA well under the CPHD's (0.15 vs 0.63 here).
    (The tracker's M/N counters approximate this; the PHD/CPHD can't
    represent it at all.)
+6. LABELED RFS -> `lmb`: the labeled multi-Bernoulli filter (no
+   Poisson component — every hypothesis is a labeled track), GOSPA-
+   scored against PMB and CPHD: matches the PMB and beats the CPHD's
+   missed-target cost ~4x, with one label per target for life.
 
 Run: env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu python examples/tracking.py
 """
@@ -316,9 +320,90 @@ def act_five_pmb():
     print("all claims verified.")
 
 
+def act_six_lmb():
+    """Labeled-RFS endpoint: the act-3 scene through the LMB filter,
+    GOSPA-scored against PMB and CPHD.  GOSPA decomposes the error
+    into localization + missed + false (diagnostics.gospa), so the
+    comparison says WHERE each filter loses mass, not just how much."""
+    from gokalman_tpu.diagnostics import gospa
+    from gokalman_tpu.filters import lmb
+
+    rng = np.random.default_rng(3)
+    f, q, h, r = cv_system(q_scale=1e-3)
+    fn, hn = np.asarray(f), np.asarray(h)
+    T = 80
+    a = np.array([-5.0, 0.12, -5.0, 0.10])
+    b = np.array([5.0, -0.10, 5.0, -0.08])
+    frames, truth, tmask = [], np.zeros((T, 2, 2)), np.zeros((T, 2), bool)
+    for k in range(T):
+        a, b = fn @ a, fn @ b
+        truth[k, 0], truth[k, 1] = a[::2], b[::2]
+        dets = []
+        if k < 45:
+            tmask[k, 0] = True
+            if rng.random() < 0.95:
+                dets.append(hn @ a + 0.1414 * rng.standard_normal(2))
+        if k >= 20:
+            tmask[k, 1] = True
+            if rng.random() < 0.95:
+                dets.append(hn @ b + 0.1414 * rng.standard_normal(2))
+        while len(dets) < 5:
+            dets.append(rng.uniform(-50, 50, 2))
+        rng.shuffle(dets)
+        frames.append(np.stack(dets))
+    frames = jnp.asarray(np.stack(frames))
+    masks = jnp.ones((T, 5), bool)
+    bm = jnp.asarray([[-5.0, 0.0, -5.0, 0.0], [5.0, 0.0, 5.0, 0.0]])
+    bp = jnp.broadcast_to(
+        jnp.diag(jnp.asarray([4.0, 0.25, 4.0, 0.25])), (2, 4, 4))
+    nz = gn.noiseless(q, r)
+
+    lm, ls = lmb.new(f, None, h, nz, jnp.asarray([0.03, 0.03]), bm, bp,
+                     m_max=5, p_survival=0.99, p_detect=0.95,
+                     clutter=5 / 10000.0, t_max=6, assoc="bp")
+    _, el = lmb.run(lm, ls, frames, masks)
+    pm, ps = pmb.new(f, None, h, nz, jnp.asarray([0.03, 0.03]), bm, bp,
+                     p_survival=0.99, p_detect=0.95, clutter=5 / 10000.0,
+                     j_max=16, t_max=8)
+    _, ep = pmb.run(pm, ps, frames, masks)
+    cm, cs = cphd.new(f, None, h, nz, jnp.asarray([0.03, 0.03]), bm, bp,
+                      p_survival=0.99, p_detect=0.95, clutter_rate=5.0,
+                      volume=10000.0, n_max=12, j_max=24)
+    _, ec = cphd.run(cm, cs, frames, masks)
+
+    def score(states, mask4):
+        g = jax.vmap(lambda e, em, t, tm: gospa(e, em, t, tm, 5.0))(
+            states, mask4, jnp.asarray(truth), jnp.asarray(tmask))
+        return np.asarray(g[0])[10:].mean(), np.asarray(g[2])[10:].mean()
+
+    g_l, miss_l = score(el.states[:, :4, ::2], el.existence[:, :4] > 0.5)
+    g_p, miss_p = score(ep.states[:, :4, ::2], ep.existence[:, :4] > 0.5)
+    g_c, miss_c = score(ec.states[:, :4, ::2], ec.weights[:, :4] > 0.5)
+    # label continuity through the whole life of each target
+    labels = np.asarray(el.labels)
+    exist = np.asarray(el.existence)
+    states = np.asarray(el.states)
+
+    def label_near(k, t):
+        d = np.linalg.norm(states[k, :, ::2] - truth[k, t][None], axis=1)
+        d = np.where(exist[k] > 0.5, d, np.inf)
+        return tuple(labels[k, int(np.argmin(d))])
+
+    la = {label_near(k, 0) for k in range(6, 44)}
+    lb = {label_near(k, 1) for k in range(26, 79)}
+    print(f"act 6 (labeled RFS): GOSPA LMB {g_l:.2f}  PMB {g_p:.2f}  "
+          f"CPHD {g_c:.2f} (missed-cost {miss_l:.2f}/{miss_p:.2f}/"
+          f"{miss_c:.2f}); LMB labels A {la} B {lb}")
+    assert g_l < 1.2 * g_p, (g_l, g_p)  # track-based peers
+    assert g_l < g_c, (g_l, g_c)  # beats the unlabeled intensity filter
+    assert len(la) == 1 and len(lb) == 1 and la != lb, (la, lb)
+    print("all claims verified.")
+
+
 if __name__ == "__main__":
     act_one_pdaf()
     act_two_jpda()
     act_three_tracker()
     act_four_rfs()
     act_five_pmb()
+    act_six_lmb()

@@ -38,8 +38,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from gokalman_tpu import noise as gn
-from gokalman_tpu.filters import (cphd, fusion, jpda, pdaf, phd, pmb,
-                                  tracker)
+from gokalman_tpu.filters import (cphd, fusion, jpda, lmb, pdaf, phd,
+                                  pmb, tracker)
 from gokalman_tpu.profiling import backend_watchdog
 
 DTYPE = jnp.float32
@@ -462,6 +462,7 @@ def main():
         bench_phd(bank2),
         bench_cphd(bank2),
         bench_pmb(bank2),
+        bench_lmb(bank2),
         bench_fusion(bank2, jax.random.PRNGKey(13)),
     ]
     ok = all(r["gates_pass"] for r in rows)

@@ -72,6 +72,9 @@ class Model(NamedTuple):
     h_max: int
     codes: jax.Array  # [E, L_tot] ternary outcome codes (0/1/2+j)
     onehot: jax.Array  # [E, L_tot, m_max + 2]
+    assoc: str  # "exact" | "gibbs"
+    n_samples: int  # gibbs: children sampled per parent
+    gibbs_sweeps: int
 
 
 class State(NamedTuple):
@@ -125,14 +128,24 @@ def n_ternary_events(l_tot: int, m_max: int) -> int:
 def new(f, g, h, noise: Noise, birth_r, birth_m, birth_p, m_max: int,
         p_survival: float = 0.99, p_detect: float = 0.9,
         clutter: float = 1e-3, gate: float = 16.0, t_max: int = 4,
-        h_max: int = 64):
+        h_max: int = 64, assoc: str = "exact", n_samples: int = 32,
+        gibbs_sweeps: int = 4):
     """Build (Model, State) with the single empty hypothesis.
 
     `t_max` static label slots (>= expected simultaneous targets +
     births in flight), `h_max` static hypothesis slots — the truncation
-    depth.  The ternary event table is factorial in
-    (t_max + Jb, m_max); the 500k guard keeps this an explicitly
-    small-scene EXACT filter (use `lmb` with assoc="bp" past it)."""
+    depth.
+
+    `assoc="exact"` enumerates the ternary outcome table host-side —
+    factorial in (t_max + Jb, m_max), guarded at 500k rows; with h_max
+    >= the history count the filter IS exact multi-target Bayes.
+    `assoc="gibbs"` (Vo, Vo & Hoang 2017) instead draws `n_samples`
+    child hypotheses per parent with a `gibbs_sweeps`-sweep Gibbs
+    sampler over the joint outcome vector (conditionals are the same
+    laug table the exact mode sums; sampling only selects WHICH
+    children materialize — each child's weight is computed exactly,
+    duplicates within a parent are dropped).  step/run then need a PRNG
+    `key`."""
     birth_m = jnp.asarray(birth_m)
     birth_p = jnp.asarray(birth_p)
     birth_r = jnp.asarray(birth_r)
@@ -141,26 +154,33 @@ def new(f, g, h, noise: Noise, birth_r, birth_m, birth_p, m_max: int,
     jb, n = birth_m.shape
     if birth_r.shape != (jb,) or birth_p.shape != (jb, n, n):
         raise ValueError("birth_r/birth_p shapes must match birth_m")
+    if assoc not in ("exact", "gibbs"):
+        raise ValueError(f"assoc must be 'exact' or 'gibbs' (got {assoc!r})")
     dt = birth_m.dtype
     l_tot = t_max + jb
-    n_events = n_ternary_events(l_tot, m_max)
-    if n_events > 500_000:
-        raise ValueError(
-            f"delta-GLMB ternary event table would have {n_events} rows "
-            f"for {t_max}+{jb} slots x {m_max} candidates; shrink the "
-            "scene or use lmb(assoc='bp')")
     import numpy as np
 
-    codes = _enumerate_ternary(l_tot, m_max)
-    onehot = np.zeros((codes.shape[0], l_tot, m_max + 2), np.float32)
-    np.put_along_axis(onehot, codes[:, :, None], 1.0, axis=2)
+    if assoc == "exact":
+        n_events = n_ternary_events(l_tot, m_max)
+        if n_events > 500_000:
+            raise ValueError(
+                f"delta-GLMB ternary event table would have {n_events} "
+                f"rows for {t_max}+{jb} slots x {m_max} candidates; use "
+                "assoc='gibbs' or shrink the scene")
+        codes = _enumerate_ternary(l_tot, m_max)
+        onehot = np.zeros((codes.shape[0], l_tot, m_max + 2), np.float32)
+        np.put_along_axis(onehot, codes[:, :, None], 1.0, axis=2)
+    else:
+        codes = np.zeros((1, 1), np.int32)
+        onehot = np.zeros((1, 1, 1), np.float32)
     kf_model, _ = vanilla.new(jnp.zeros(n, dt), jnp.eye(n, dtype=dt),
                               f, g, h, noise)
     model = Model(kf_model, jnp.asarray(p_survival, dt),
                   jnp.asarray(p_detect, dt), jnp.asarray(clutter, dt),
                   jnp.asarray(gate, dt), birth_r, birth_m, birth_p,
                   int(t_max), int(h_max), jnp.asarray(codes),
-                  jnp.asarray(onehot, dt))
+                  jnp.asarray(onehot, dt), assoc, int(n_samples),
+                  int(gibbs_sweeps))
     neg_inf = jnp.full((h_max,), -jnp.inf, dt).at[0].set(0.0)
     state = State(
         neg_inf,
@@ -173,9 +193,13 @@ def new(f, g, h, noise: Noise, birth_r, birth_m, birth_p, m_max: int,
 
 
 @linalg.highp
-def step(model: Model, state: State, candidates, cand_mask):
+def step(model: Model, state: State, candidates, cand_mask, key=None):
     """One delta-GLMB frame: `candidates` [m_max, p], `cand_mask`
-    [m_max]."""
+    [m_max].  `key` is required (and consumed) in assoc="gibbs" mode
+    only — it drives child sampling, never the weights, which are
+    always computed exactly."""
+    if model.assoc == "gibbs" and key is None:
+        raise ValueError("assoc='gibbs' requires a PRNG key")
     kf = model.kf
     dt = state.m.dtype
     h_max, t_max, n = state.m.shape
@@ -255,24 +279,73 @@ def step(model: Model, state: State, candidates, cand_mask):
     laug = jnp.concatenate(
         [col_dead[..., None], col_miss[..., None], col_det], axis=2)
 
-    # ---- score all children: [H, E] = sum_i laug[h, i, code[e, i]]
-    # (tensordot over the onehot; -inf * 0 = NaN, so shift through a
-    # large-negative clamp instead)
-    neg = jnp.asarray(-1e30 if dt == jnp.float64 else -1e30, dt)
+    # ---- child generation + exact scoring (-inf * 0 = NaN, so score
+    # through a large-negative clamp instead)
+    neg = jnp.asarray(-1e30, dt)
     laug_c = jnp.maximum(laug, neg)
-    child = jnp.tensordot(laug_c, model.onehot, axes=[[1, 2], [1, 2]])
-    child = child + state.log_w[:, None]  # [H, E]
-    child = jnp.where(jnp.isfinite(state.log_w)[:, None], child, -jnp.inf)
-    child = jnp.where(child > 0.5 * neg, child, -jnp.inf)
-
-    # ---- prune to top-h_max children, renormalize
-    flat = child.reshape(-1)
-    top_w, top_idx = jax.lax.top_k(flat, h_max)
+    if model.assoc == "exact":
+        # all children: [H, E] = sum_i laug[h, i, code[e, i]]
+        child = jnp.tensordot(laug_c, model.onehot,
+                              axes=[[1, 2], [1, 2]])
+        child = child + state.log_w[:, None]  # [H, E]
+        child = jnp.where(jnp.isfinite(state.log_w)[:, None], child,
+                          -jnp.inf)
+        child = jnp.where(child > 0.5 * neg, child, -jnp.inf)
+        flat = child.reshape(-1)
+        top_w, top_idx = jax.lax.top_k(flat, h_max)
+        parent = top_idx // model.codes.shape[0]  # [h_max]
+        codes_sel = model.codes[top_idx % model.codes.shape[0]]
+    else:
+        # Gibbs-sampled children (Vo, Vo & Hoang 2017): n_samples
+        # outcome vectors per parent from sweeps of the conditional
+        # p(gamma_i | rest) ∝ exp(laug[h, i, c]) over outcomes still
+        # feasible (one-to-one on detections), then exact scoring.
+        s_n = model.n_samples
+        gamma = jnp.zeros((h_max, s_n, l_tot), jnp.int32)  # all-dead
+        taken = jnp.zeros((h_max, s_n, m_max), bool)
+        keys = jax.random.split(key, model.gibbs_sweeps * l_tot)
+        ki = 0
+        for sweep in range(model.gibbs_sweeps):
+            for i in range(l_tot):
+                cur = gamma[:, :, i]  # [H, S]
+                det_oh = jax.nn.one_hot(cur - 2, m_max,
+                                        dtype=bool)  # [H, S, m]
+                taken = taken & ~det_oh
+                logits = jnp.broadcast_to(
+                    laug_c[:, None, i, :], (h_max, s_n, m_max + 2))
+                block = jnp.concatenate(
+                    [jnp.zeros((h_max, s_n, 2), bool), taken], axis=2)
+                logits = jnp.where(block, neg, logits)
+                c = jax.random.categorical(keys[ki], logits)  # [H, S]
+                ki += 1
+                gamma = gamma.at[:, :, i].set(c.astype(jnp.int32))
+                taken = taken | jax.nn.one_hot(c - 2, m_max, dtype=bool)
+        # sample 0 is pinned to the all-dead child: it is always
+        # feasible and carries the n=0 tail mass Gibbs chains drift
+        # away from (measured: P(n=0) mass lost entirely without it)
+        gamma = gamma.at[:, 0, :].set(0)
+        # exact weights of the sampled children
+        gath = jnp.take_along_axis(
+            jnp.broadcast_to(laug_c[:, None],
+                             (h_max, s_n, l_tot, m_max + 2)),
+            gamma[..., None], axis=3)[..., 0]  # [H, S, L]
+        child = jnp.sum(gath, axis=2) + state.log_w[:, None]  # [H, S]
+        child = jnp.where(jnp.isfinite(state.log_w)[:, None], child,
+                          -jnp.inf)
+        child = jnp.where(child > 0.5 * neg, child, -jnp.inf)
+        # drop within-parent duplicates (they would double-count the
+        # same history when the kept set is renormalized)
+        eq = jnp.all(gamma[:, :, None, :] == gamma[:, None, :, :],
+                     axis=-1)  # [H, S, S]
+        earlier = jnp.arange(s_n)[None, :] < jnp.arange(s_n)[:, None]
+        dup = jnp.any(eq & earlier[None], axis=2)  # [H, S]
+        child = jnp.where(dup, -jnp.inf, child)
+        flat = child.reshape(-1)
+        top_w, top_idx = jax.lax.top_k(flat, h_max)
+        parent = top_idx // s_n
+        codes_sel = gamma.reshape(-1, l_tot)[top_idx]
     log_z = jax.scipy.special.logsumexp(top_w)
     new_log_w = top_w - log_z
-    parent = top_idx // model.codes.shape[0]  # [h_max]
-    event = top_idx % model.codes.shape[0]
-    codes_sel = model.codes[event]  # [h_max, L]
 
     # ---- child per-slot posteriors (gathered from the parent rows)
     new_alive_ext = codes_sel >= 1  # [h_max, L]
@@ -335,13 +408,26 @@ def step(model: Model, state: State, candidates, cand_mask):
 
 
 @linalg.highp
-def run(model: Model, state: State, candidates, cand_masks):
-    """lax.scan over [T, m_max, p] frames."""
+def run(model: Model, state: State, candidates, cand_masks, key=None):
+    """lax.scan over [T, m_max, p] frames.  `key` required for
+    assoc="gibbs" (split per frame)."""
+    candidates = jnp.asarray(candidates)
+    if model.assoc == "gibbs":
+        if key is None:
+            raise ValueError("assoc='gibbs' requires a PRNG key")
+        keys = jax.random.split(key, candidates.shape[0])
+
+        def body_g(carry, xs):
+            cands, m_, k_ = xs
+            return step(model, carry, cands, m_, key=k_)
+
+        return jax.lax.scan(body_g, state,
+                            (candidates, jnp.asarray(cand_masks, bool),
+                             keys))
 
     def body(carry, xs):
         cands, m_ = xs
         return step(model, carry, cands, m_)
 
     return jax.lax.scan(body, state,
-                        (jnp.asarray(candidates),
-                         jnp.asarray(cand_masks, bool)))
+                        (candidates, jnp.asarray(cand_masks, bool)))

@@ -336,3 +336,102 @@ def test_labels_through_crossing_and_beats_lmb_pmf():
     # n=2 is the clear mode (recurring tentative births keep some mass
     # at n=3, clutter-missed frames at n=1 — a sharp peak, not 1.0)
     assert g_p2 > 0.5
+
+
+def test_gibbs_mode_approximates_exact():
+    """assoc='gibbs' with a healthy sample budget lands near the exact
+    posterior on the small scene: cardinality pmf within 0.05, marginal
+    existence within 0.05, means within 0.1 of exact — and its weights
+    are a normalized distribution (each child scored exactly)."""
+    f, q, h, r = _cv1d()
+    bm = jnp.asarray([[0.0, 0.0]])
+    bp = jnp.broadcast_to(jnp.diag(jnp.asarray([4.0, 0.25])), (1, 2, 2))
+    br = jnp.asarray([0.3])
+    kw = dict(m_max=2, p_survival=PS, p_detect=PD, clutter=KAPPA,
+              gate=1e12, t_max=4)
+    e_model, e_state = glmb.new(f, None, h, gn.noiseless(q, r), br, bm,
+                                bp, h_max=4096, assoc="exact", **kw)
+    g_model, g_state = glmb.new(f, None, h, gn.noiseless(q, r), br, bm,
+                                bp, h_max=512, assoc="gibbs",
+                                n_samples=64, gibbs_sweeps=8, **kw)
+    frames = jnp.asarray([[[0.4], [5.0]], [[0.7], [-3.0]],
+                          [[1.1], [0.2]]])
+    masks = jnp.ones((3, 2), bool)
+    _, e_ests = glmb.run(e_model, e_state, frames, masks)
+    _, g_ests = glmb.run(g_model, g_state, frames, masks,
+                         key=jax.random.PRNGKey(0))
+
+    w = np.asarray(g_ests.hyp_log_w[-1])
+    np.testing.assert_allclose(np.exp(w[np.isfinite(w)]).sum(), 1.0,
+                               rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(g_ests.cardinality_pmf[-1]),
+                               np.asarray(e_ests.cardinality_pmf[-1]),
+                               atol=0.05)
+
+    def by_label(est):
+        labs = np.asarray(est.labels[-1])
+        out = {}
+        for i in range(labs.shape[0]):
+            lab = tuple(labs[i])
+            if lab != (-1, -1):
+                out[lab] = (float(est.existence[-1, i]),
+                            np.asarray(est.states[-1, i]))
+        return out
+
+    e_m, g_m = by_label(e_ests), by_label(g_ests)
+    for lab, (re_, me) in e_m.items():
+        if re_ < 0.01:
+            continue
+        assert lab in g_m, (lab, g_m.keys())
+        rg, mg = g_m[lab]
+        assert abs(rg - re_) < 0.05, (lab, rg, re_)
+        if re_ > 0.5:
+            # tentative labels' marginal means are multi-modal
+            # mixtures over association modes — exactly the part a
+            # sampled hypothesis set resolves last; only solidly
+            # detected labels pin tightly
+            np.testing.assert_allclose(mg, me, atol=0.1)
+
+
+def test_gibbs_children_respect_one_to_one():
+    """No sampled child may assign two labels to one measurement: feed
+    two targets sitting ON the same single measurement — the exact and
+    gibbs modes must both give it to only one label per hypothesis, so
+    P(both labels alive AND both detected) contributes no weight with
+    m=1... observable as the gibbs cardinality pmf matching exact."""
+    f, q, h, r = _cv1d()
+    bm = jnp.asarray([[0.0, 0.0], [0.0, 0.0]])
+    bp = jnp.broadcast_to(jnp.diag(jnp.asarray([1.0, 0.25])), (2, 2, 2))
+    br = jnp.asarray([0.6, 0.6])
+    kw = dict(m_max=1, p_survival=PS, p_detect=0.99, clutter=1e-3,
+              gate=1e12, t_max=3)
+    e_model, e_state = glmb.new(f, None, h, gn.noiseless(q, r), br, bm,
+                                bp, h_max=1024, assoc="exact", **kw)
+    g_model, g_state = glmb.new(f, None, h, gn.noiseless(q, r), br, bm,
+                                bp, h_max=256, assoc="gibbs",
+                                n_samples=64, gibbs_sweeps=10, **kw)
+    frames = jnp.asarray([[[0.1]], [[0.2]]])
+    masks = jnp.ones((2, 1), bool)
+    _, e_ests = glmb.run(e_model, e_state, frames, masks)
+    _, g_ests = glmb.run(g_model, g_state, frames, masks,
+                         key=jax.random.PRNGKey(3))
+    g_pmf = np.asarray(g_ests.cardinality_pmf[-1])
+    e_pmf = np.asarray(e_ests.cardinality_pmf[-1])
+    # the discriminating check: a double assignment would put both
+    # labels alive+detected on the single measurement, whose weight
+    # (PD N/kappa ~ 1e3 each) would dominate — pmf[2] would jump to
+    # O(1) instead of the exact ~0.02 (both alive needs one MISSED)
+    assert g_pmf[2] < 0.1, g_pmf
+    assert abs(g_pmf[1] - e_pmf[1]) < 0.06, (g_pmf, e_pmf)
+    assert int(g_ests.map_cardinality[-1]) == 1
+
+
+def test_gibbs_requires_key():
+    f, q, h, r = _cv1d()
+    bm = jnp.asarray([[0.0, 0.0]])
+    bp = jnp.broadcast_to(jnp.eye(2), (1, 2, 2))
+    br = jnp.asarray([0.3])
+    model, state = glmb.new(f, None, h, gn.noiseless(q, r), br, bm, bp,
+                            m_max=1, assoc="gibbs")
+    with pytest.raises(ValueError):
+        glmb.step(model, state, jnp.zeros((1, 1)), jnp.ones(1, bool))

@@ -38,8 +38,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from gokalman_tpu import noise as gn
-from gokalman_tpu.filters import (cphd, fusion, jpda, lmb, pdaf, phd,
-                                  pmb, tracker)
+from gokalman_tpu.filters import (cphd, fusion, glmb, jpda, lmb, pdaf,
+                                  phd, pmb, tracker)
 from gokalman_tpu.profiling import backend_watchdog
 
 DTYPE = jnp.float32
@@ -114,8 +114,16 @@ def _gen_bank(key, n_targets):
         return truth, cands, mask
 
     keys = jax.random.split(key, B_SCENES)
-    truth, cands, masks = jax.jit(jax.vmap(gen_scene))(keys)
-    jax.block_until_ready((truth, cands, masks))
+    # Trace under f32 matmul precision: the truth propagation
+    # (x @ f.T) otherwise runs at the TPU's default bf16 passes and
+    # injects ~0.4%/step unmodeled quantization noise into the truths
+    # — measured on chip as 3.5x tail-RMS degradation on every row
+    # (0.14 -> 0.49 PDAF) and outright gate failures for jpda/tracker
+    # (9.98): the filters track the measurements, which ride the
+    # quantization random walk their tiny Q cannot follow.
+    with jax.default_matmul_precision("float32"):
+        truth, cands, masks = jax.jit(jax.vmap(gen_scene))(keys)
+        jax.block_until_ready((truth, cands, masks))
     return truth, cands, masks
 
 
@@ -394,6 +402,42 @@ def bench_lmb(bank2):
     })
 
 
+def bench_glmb(bank2):
+    """delta-GLMB (glmb.py) with the Gibbs association backend at this
+    scene scale: hypothesis-carrying labeled RFS — the most expensive
+    tracker in the stack (per frame it samples and exactly scores
+    h_max x n_samples global hypotheses)."""
+    truth, cands, masks = bank2
+    f, q, h, r = _cv_system()
+    bw, bm, bp = _birth()
+    br = jnp.asarray([0.1, 0.1], DTYPE)
+    model, state = glmb.new(f, None, h, gn.noiseless(q, r), br, bm, bp,
+                            m_max=M_MAX, p_survival=0.99, p_detect=PD,
+                            clutter=N_CLUTTER / BOX**2, gate=16.0,
+                            t_max=4, h_max=16, assoc="gibbs",
+                            n_samples=16, gibbs_sweeps=4)
+    key = jax.random.PRNGKey(21)
+
+    def run_one(c, m):
+        _, est = glmb.run(model, state, c, m, key=key)
+        # slots are sorted by marginal existence: top-2 = the targets
+        return est.states[:, :2, ::2], est.n_targets
+
+    marginal, (pos, nt) = _bank_runner(run_one, cands, masks,
+                                       lambda o: o[0][-1, -1, 0, 0])
+    rms = _set_rms(pos, truth[:, :, :, ::2])
+    nt_tail = float(jnp.mean(nt[:, -TAIL:]))
+    frames = B_SCENES * T_FRAMES
+    return emit({
+        "metric": "glmb_frames_per_sec", "value": frames / marginal,
+        "unit": "frames/s", "bank_ms": 1e3 * marginal,
+        "scenes": B_SCENES, "frames": T_FRAMES, "m_max": M_MAX,
+        "t_max": 4, "h_max": 16, "n_samples": 16, "gibbs_sweeps": 4,
+        "tail_set_rms": rms, "tail_n_targets": nt_tail,
+        "gates_pass": bool(rms < 1.0 and 1.6 < nt_tail < 2.4),
+    })
+
+
 def bench_fusion(bank2, key):
     """Track-to-track association + covariance-intersection fusion
     (fusion.associate_and_fuse) over every (scene, frame) as an
@@ -463,6 +507,7 @@ def main():
         bench_cphd(bank2),
         bench_pmb(bank2),
         bench_lmb(bank2),
+        bench_glmb(bank2),
         bench_fusion(bank2, jax.random.PRNGKey(13)),
     ]
     ok = all(r["gates_pass"] for r in rows)

@@ -400,6 +400,92 @@ def act_six_lmb():
     print("all claims verified.")
 
 
+def act_seven_glmb():
+    """Hypothesis-carrying endpoint: the act-6 scene through the
+    delta-GLMB filter (Gibbs backend).  Unlike every filter before it,
+    its cardinality pmf comes straight off the global-hypothesis
+    weights (exact given the kept set), and the MAP-cardinality
+    best-hypothesis extraction keeps labeled tracks without any
+    marginalization step."""
+    from gokalman_tpu.diagnostics import gospa
+    from gokalman_tpu.filters import glmb, lmb
+
+    rng = np.random.default_rng(3)
+    f, q, h, r = cv_system(q_scale=1e-3)
+    fn, hn = np.asarray(f), np.asarray(h)
+    T = 80
+    a = np.array([-5.0, 0.12, -5.0, 0.10])
+    b = np.array([5.0, -0.10, 5.0, -0.08])
+    frames, truth, tmask = [], np.zeros((T, 2, 2)), np.zeros((T, 2), bool)
+    for k in range(T):
+        a, b = fn @ a, fn @ b
+        truth[k, 0], truth[k, 1] = a[::2], b[::2]
+        dets = []
+        if k < 45:
+            tmask[k, 0] = True
+            if rng.random() < 0.95:
+                dets.append(hn @ a + 0.1414 * rng.standard_normal(2))
+        if k >= 20:
+            tmask[k, 1] = True
+            if rng.random() < 0.95:
+                dets.append(hn @ b + 0.1414 * rng.standard_normal(2))
+        while len(dets) < 5:
+            dets.append(rng.uniform(-50, 50, 2))
+        rng.shuffle(dets)
+        frames.append(np.stack(dets))
+    frames = jnp.asarray(np.stack(frames))
+    masks = jnp.ones((T, 5), bool)
+    bm = jnp.asarray([[-5.0, 0.0, -5.0, 0.0], [5.0, 0.0, 5.0, 0.0]])
+    bp = jnp.broadcast_to(
+        jnp.diag(jnp.asarray([4.0, 0.25, 4.0, 0.25])), (2, 4, 4))
+    nz = gn.noiseless(q, r)
+    br = jnp.asarray([0.03, 0.03])
+
+    gm, gs = glmb.new(f, None, h, nz, br, bm, bp, m_max=5,
+                      p_survival=0.99, p_detect=0.95,
+                      clutter=5 / 10000.0, t_max=5, h_max=24,
+                      assoc="gibbs", n_samples=24, gibbs_sweeps=5)
+    _, eg = glmb.run(gm, gs, frames, masks, key=jax.random.PRNGKey(7))
+    lm, ls = lmb.new(f, None, h, nz, br, bm, bp, m_max=5,
+                     p_survival=0.99, p_detect=0.95,
+                     clutter=5 / 10000.0, t_max=6, assoc="bp")
+    _, el = lmb.run(lm, ls, frames, masks)
+
+    def score(states, mask4):
+        g = jax.vmap(lambda e, em, t, tm: gospa(e, em, t, tm, 5.0))(
+            states, mask4, jnp.asarray(truth), jnp.asarray(tmask))
+        return np.asarray(g[0])[10:].mean()
+
+    g_g = score(eg.map_states[:, :4, ::2], eg.map_alive[:, :4])
+    g_l = score(el.states[:, :4, ::2], el.existence[:, :4] > 0.5)
+
+    # MAP cardinality from the EXACT hypothesis pmf, scored per frame
+    # in the settled windows (both targets' lifecycles stable)
+    true_n = tmask.sum(axis=1)
+    settled = ([k for k in range(8, 42)] + [k for k in range(50, 78)])
+    map_n = np.asarray(eg.map_cardinality)
+    acc = np.mean([map_n[k] == true_n[k] for k in settled])
+
+    # label continuity of the MAP track set
+    labels = np.asarray(eg.labels)
+    alive = np.asarray(eg.map_alive)
+    states = np.asarray(eg.map_states)
+
+    def label_near(k, t):
+        d = np.linalg.norm(states[k, :, ::2] - truth[k, t][None], axis=1)
+        d = np.where(alive[k], d, np.inf)
+        return tuple(labels[k, int(np.argmin(d))])
+
+    la = {label_near(k, 0) for k in range(6, 44)}
+    lb = {label_near(k, 1) for k in range(26, 79)}
+    print(f"act 7 (delta-GLMB): GOSPA {g_g:.2f} vs LMB {g_l:.2f}; "
+          f"MAP-count accuracy {acc:.2f}; labels A {la} B {lb}")
+    assert g_g < 1.2 * g_l, (g_g, g_l)
+    assert acc > 0.9, acc
+    assert len(la) == 1 and len(lb) == 1 and la != lb, (la, lb)
+    print("all claims verified.")
+
+
 if __name__ == "__main__":
     act_one_pdaf()
     act_two_jpda()
@@ -407,3 +493,4 @@ if __name__ == "__main__":
     act_four_rfs()
     act_five_pmb()
     act_six_lmb()
+    act_seven_glmb()

@@ -294,7 +294,8 @@ def bench_phd(bank2):
     bw, bm, bp = _birth()
     model, state = phd.new(f, None, h, gn.noiseless(q, r), bw, bm, bp,
                            p_survival=0.99, p_detect=PD,
-                           clutter=N_CLUTTER / BOX**2, j_max=24)
+                           clutter=N_CLUTTER / BOX**2, j_max=24,
+                           merge_pool=48)
 
     def run_one(c, m):
         _, est = phd.run(model, state, c, m)
@@ -322,7 +323,8 @@ def bench_cphd(bank2):
     model, state = cphd.new(f, None, h, gn.noiseless(q, r), bw, bm, bp,
                             p_survival=0.99, p_detect=PD,
                             clutter_rate=float(N_CLUTTER),
-                            volume=BOX**2, n_max=12, j_max=24)
+                            volume=BOX**2, n_max=12, j_max=24,
+                            merge_pool=48)
 
     def run_one(c, m):
         _, est = cphd.run(model, state, c, m)

@@ -54,6 +54,7 @@ class Model(NamedTuple):
     j_max: int  # static mixture cap
     trunc: float  # static truncation threshold on weights
     adaptive_birth_w: float  # static: per-measurement birth weight (0 = off)
+    merge_pool: int  # static pre-merge top-k pool (0 = full Runnalls)
     h_pinv: jax.Array  # [n, p] measurement pseudo-inverse (birth seed)
 
 
@@ -75,7 +76,7 @@ class Estimate(NamedTuple):
 def new(f, g, h, noise: Noise, birth_w, birth_m, birth_p,
         p_survival: float = 0.99, p_detect: float = 0.9,
         clutter: float = 1e-3, j_max: int = 32, trunc: float = 1e-5,
-        adaptive_birth_w: float = 0.0):
+        adaptive_birth_w: float = 0.0, merge_pool: int = 0):
     """Build (Model, State) with an EMPTY initial intensity.  The birth
     mixture (weights/covs/means, [Jb]-stacked) is injected every frame
     — put components where targets appear (sensor horizon, runway,
@@ -86,7 +87,13 @@ def new(f, g, h, noise: Noise, birth_w, birth_m, birth_p,
     that weight — the standard measurement-driven birth for targets
     appearing at UNKNOWN locations (where a fixed birth mixture never
     acquires; pinned in tests).  Count it toward the clutter rate when
-    tuning: each clutter point also births a (short-lived) component."""
+    tuning: each clutter point also births a (short-lived) component.
+
+    `merge_pool` > 0 truncates the post-update mixture to its
+    merge_pool largest weights before the Runnalls merge (Vo & Ma 2006
+    prune-then-cap; ~2*j_max is a good setting) — required for large
+    vmapped scene banks, where the full [M, M, n, n] pairwise-merge
+    tensor OOMs (measured: 28.7 GB at 256 scenes, j_max 24, m_max 8)."""
     birth_m = jnp.asarray(birth_m)
     birth_p = jnp.asarray(birth_p)
     birth_w = jnp.asarray(birth_w)
@@ -101,7 +108,7 @@ def new(f, g, h, noise: Noise, birth_w, birth_m, birth_p,
     model = Model(kf_model, jnp.asarray(p_survival, dt),
                   jnp.asarray(p_detect, dt), jnp.asarray(clutter, dt),
                   birth_w, birth_m, birth_p, int(j_max), float(trunc),
-                  float(adaptive_birth_w),
+                  float(adaptive_birth_w), int(merge_pool),
                   jnp.linalg.pinv(kf_model.h).astype(dt))
     state = State(jnp.zeros((j_max,), dt),
                   jnp.zeros((j_max, n), dt),
@@ -188,8 +195,9 @@ def step(model: Model, state: State, candidates, cand_mask):
     w_all = jnp.where(w_all > model.trunc, w_all, 0.0)
     total = jnp.sum(w_all)
     logw = jnp.log(jnp.maximum(w_all, 1e-300))
-    m_red, p_red, logw_red = gsf.reduce_mixture(m_all, p_all, logw,
-                                                model.j_max)
+    m_red, p_red, logw_red = gsf.reduce_mixture(
+        m_all, p_all, logw, model.j_max,
+        pool=model.merge_pool if model.merge_pool > 0 else None)
     w_red = jnp.exp(logw_red) * total  # reduce_mixture normalizes
 
     # sort by weight descending for stable extraction

@@ -384,3 +384,31 @@ def test_f32_weight_collapse_stays_finite():
     assert np.isfinite(np.asarray(est.state)).all()
     assert np.isfinite(np.asarray(fst.logw)).all()
     assert w[-1, 0] > 1.0 - 1e-6, w[-1]
+
+
+def test_reduce_mixture_pool():
+    """pool >= M is a no-op (bit-identical to the full merge); a
+    smaller pool keeps the dominant modes, stays normalized, and the
+    dropped tail mass is redistributed by normalization."""
+    import numpy as np
+    key = jax.random.PRNGKey(4)
+    m = 40
+    xs = jax.random.normal(key, (m, 3))
+    ps = jnp.broadcast_to(0.3 * jnp.eye(3), (m, 3, 3))
+    logw = jnp.log(jnp.concatenate(
+        [jnp.asarray([5.0, 4.0, 3.0]), 1e-4 * jnp.ones(m - 3)]))
+    full = gsf.reduce_mixture(xs, ps, logw, 3)
+    noop = gsf.reduce_mixture(xs, ps, logw, 3, pool=m)
+    for a, b in zip(full, noop):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    xs8, ps8, lw8 = gsf.reduce_mixture(xs, ps, logw, 3, pool=8)
+    np.testing.assert_allclose(np.exp(np.asarray(lw8)).sum(), 1.0,
+                               rtol=1e-6)
+    # the three dominant modes survive: each output mean is within the
+    # merge radius of one of the heavy inputs
+    heavy = np.asarray(xs[:3])
+    for mu in np.asarray(xs8):
+        assert np.min(np.linalg.norm(heavy - mu, axis=1)) < 1.5
+
+    with pytest.raises(ValueError):
+        gsf.reduce_mixture(xs, ps, logw, 5, pool=3)

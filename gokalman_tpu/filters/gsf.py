@@ -221,6 +221,79 @@ def _logdet_psd(p):
         jnp.asarray(1e-30, p.dtype))), axis=-1)
 
 
+def cluster_reduce(xs, ps, w, m_out: int, dist2: float = 4.0):
+    """Vo & Ma 2006 (Table II) cluster merge for GM intensities: pick
+    the heaviest remaining component, moment-match-merge every
+    remaining component within squared Mahalanobis distance `dist2` of
+    it (measured in the seed's covariance), write one output slot,
+    repeat `m_out` times.  Raw-weight domain; the output weights are
+    rescaled so Σw_out == Σw exactly (mass IS cardinality for the
+    PHD/CPHD — proportional redistribution of any slot-starved
+    leftover keeps the intensity-mass/cardinality identity that the
+    exact-Bayes pins test).
+
+    Why this exists next to `reduce_mixture` (Runnalls): the pairwise
+    merge materializes [M, M, n, n] merged-covariance tensors inside a
+    fori_loop, which the tunneled TPU backend compiles in MINUTES and
+    crashes on at bank scale (measured: 455 s compile for a 48->24
+    merge at batch 32; TPU worker crash at batch >= 32 in the full PHD
+    program — every sub-op probed individually compiles fine, the
+    combination does not).  This cluster form is O(m_out · M) with
+    [M, n] intermediates, one 4x4 inverse per iteration, and no
+    pairwise tensor at all — and it is the merge the GM-PHD literature
+    actually prescribes.  Runnalls remains the better choice for the
+    small GSF hypothesis banks it was built for.
+
+    Returns (xs [m_out, n], ps [m_out, n, n], w [m_out] raw weights).
+    """
+    xs, ps = jnp.asarray(xs), jnp.asarray(ps)
+    w = jnp.asarray(w)
+    m, n = xs.shape
+    if not 1 <= m_out:
+        raise ValueError(f"m_out must be >= 1, got {m_out}")
+    if m_out >= m:
+        pad = m_out - m
+        return (jnp.pad(xs, ((0, pad), (0, 0))),
+                jnp.pad(ps, ((0, pad), (0, 0), (0, 0))),
+                jnp.pad(w, (0, pad)))
+    dt = xs.dtype
+    tiny = jnp.asarray(1e-300 if dt == jnp.float64 else 1e-30, dt)
+    idx = jnp.arange(m)
+
+    def body(k, carry):
+        rem, w_out, xs_out, ps_out = carry
+        wr = jnp.where(rem, w, 0.0)
+        i = jnp.argmax(wr)
+        e = (idx == i).astype(dt)
+        x_star = e @ xs
+        p_star = jnp.einsum("m,mij->ij", e, ps)
+        d = xs - x_star
+        p_inv = linalg.inv_psd(p_star)
+        md2 = jnp.einsum("mi,ij,mj->m", d, p_inv, d)
+        cl = rem & (md2 < dist2) & (wr > 0)
+        wc = jnp.where(cl, w, 0.0)
+        wsum = jnp.sum(wc)
+        safe = jnp.maximum(wsum, tiny)
+        mu = (wc @ xs) / safe
+        dc = xs - mu
+        pm = (jnp.einsum("m,mij->ij", wc, ps)
+              + jnp.einsum("m,mi,mj->ij", wc, dc, dc)) / safe
+        has = wsum > 0
+        w_out = w_out.at[k].set(jnp.where(has, wsum, 0.0))
+        xs_out = xs_out.at[k].set(jnp.where(has, mu, jnp.zeros(n, dt)))
+        ps_out = ps_out.at[k].set(
+            jnp.where(has, linalg.sym(pm), jnp.eye(n, dtype=dt)))
+        return rem & ~cl, w_out, xs_out, ps_out
+
+    _, w_out, xs_out, ps_out = jax.lax.fori_loop(
+        0, m_out, body,
+        (w > 0, jnp.zeros(m_out, dt), jnp.zeros((m_out, n), dt),
+         jnp.broadcast_to(jnp.eye(n, dtype=dt), (m_out, n, n))))
+    total = jnp.sum(w)
+    w_out = w_out * (total / jnp.maximum(jnp.sum(w_out), tiny))
+    return xs_out, ps_out, w_out
+
+
 def reduce_mixture(xs, ps, logw, m_out: int, pool: int = None):
     """Reduce an M-component Gaussian mixture to `m_out` components by
     repeated cheapest pairwise moment-matched merges (Runnalls 2007).

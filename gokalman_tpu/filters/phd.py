@@ -20,8 +20,11 @@ TPU-first shape: a FIXED bank of j_max mixture slots (weight 0 = unused
 — the weights are UNNORMALIZED, their sum is the cardinality estimate);
 measurements arrive as the library's padded [m_max, p] frames with
 masks; the post-update (j_max + j_birth)(1 + m_max)-component mixture
-is truncated and Runnalls-merged back to j_max by gsf.reduce_mixture
-(moment-preserving static-shape merges) with the total weight restored.
+is truncated and cluster-merged back to j_max by gsf.cluster_reduce
+(the Vo & Ma 2006 Table-II merge: heaviest-seed Mahalanobis clusters,
+moment-matched, total weight restored — O(j_max·M), no [M,M] pairwise
+tensor; the Runnalls pairwise merge compiles in minutes and crashes
+the tunneled TPU backend at scene-bank scale, measured).
 One lax.scan over frames, no data-dependent shapes anywhere.
 
 NOTE Model carries static config (j_max, trunc): when jitting, close
@@ -54,7 +57,7 @@ class Model(NamedTuple):
     j_max: int  # static mixture cap
     trunc: float  # static truncation threshold on weights
     adaptive_birth_w: float  # static: per-measurement birth weight (0 = off)
-    merge_pool: int  # static pre-merge top-k pool (0 = full Runnalls)
+    merge_dist: float  # static Mahalanobis^2 cluster-merge threshold
     h_pinv: jax.Array  # [n, p] measurement pseudo-inverse (birth seed)
 
 
@@ -76,7 +79,7 @@ class Estimate(NamedTuple):
 def new(f, g, h, noise: Noise, birth_w, birth_m, birth_p,
         p_survival: float = 0.99, p_detect: float = 0.9,
         clutter: float = 1e-3, j_max: int = 32, trunc: float = 1e-5,
-        adaptive_birth_w: float = 0.0, merge_pool: int = 0):
+        adaptive_birth_w: float = 0.0, merge_dist: float = 4.0):
     """Build (Model, State) with an EMPTY initial intensity.  The birth
     mixture (weights/covs/means, [Jb]-stacked) is injected every frame
     — put components where targets appear (sensor horizon, runway,
@@ -89,11 +92,9 @@ def new(f, g, h, noise: Noise, birth_w, birth_m, birth_p,
     acquires; pinned in tests).  Count it toward the clutter rate when
     tuning: each clutter point also births a (short-lived) component.
 
-    `merge_pool` > 0 truncates the post-update mixture to its
-    merge_pool largest weights before the Runnalls merge (Vo & Ma 2006
-    prune-then-cap; ~2*j_max is a good setting) — required for large
-    vmapped scene banks, where the full [M, M, n, n] pairwise-merge
-    tensor OOMs (measured: 28.7 GB at 256 scenes, j_max 24, m_max 8)."""
+    `merge_dist` is the squared-Mahalanobis cluster radius of the
+    Vo & Ma merge (U in their Table II; 4.0 = 2 sigma in the seed's
+    own covariance is the literature default)."""
     birth_m = jnp.asarray(birth_m)
     birth_p = jnp.asarray(birth_p)
     birth_w = jnp.asarray(birth_w)
@@ -108,7 +109,7 @@ def new(f, g, h, noise: Noise, birth_w, birth_m, birth_p,
     model = Model(kf_model, jnp.asarray(p_survival, dt),
                   jnp.asarray(p_detect, dt), jnp.asarray(clutter, dt),
                   birth_w, birth_m, birth_p, int(j_max), float(trunc),
-                  float(adaptive_birth_w), int(merge_pool),
+                  float(adaptive_birth_w), float(merge_dist),
                   jnp.linalg.pinv(kf_model.h).astype(dt))
     state = State(jnp.zeros((j_max,), dt),
                   jnp.zeros((j_max, n), dt),
@@ -194,11 +195,8 @@ def step(model: Model, state: State, candidates, cand_mask):
     # ---- truncate, merge back to j_max, restore the total weight
     w_all = jnp.where(w_all > model.trunc, w_all, 0.0)
     total = jnp.sum(w_all)
-    logw = jnp.log(jnp.maximum(w_all, 1e-300))
-    m_red, p_red, logw_red = gsf.reduce_mixture(
-        m_all, p_all, logw, model.j_max,
-        pool=model.merge_pool if model.merge_pool > 0 else None)
-    w_red = jnp.exp(logw_red) * total  # reduce_mixture normalizes
+    m_red, p_red, w_red = gsf.cluster_reduce(
+        m_all, p_all, w_all, model.j_max, model.merge_dist)
 
     # sort by weight descending for stable extraction
     order = jnp.argsort(-w_red)

@@ -412,3 +412,36 @@ def test_reduce_mixture_pool():
 
     with pytest.raises(ValueError):
         gsf.reduce_mixture(xs, ps, logw, 5, pool=3)
+
+
+def test_cluster_reduce():
+    """Vo-Ma cluster merge: total mass preserved exactly, duplicate
+    components merged with their moments matched, distinct modes kept,
+    m_out >= M pads."""
+    import numpy as np
+    xs = jnp.asarray([[0.0, 0.0], [0.05, 0.0], [5.0, 5.0], [-4.0, 3.0]])
+    ps = jnp.broadcast_to(0.25 * jnp.eye(2), (4, 2, 2))
+    w = jnp.asarray([0.6, 0.5, 0.9, 0.02])
+    xr, pr, wr = gsf.cluster_reduce(xs, ps, w, 3, dist2=4.0)
+    np.testing.assert_allclose(float(wr.sum()), float(w.sum()), rtol=1e-6)
+    # the two near-duplicates merged: one slot holds their weighted mean
+    mu01 = np.asarray((0.6 * xs[0] + 0.5 * xs[1]) / 1.1)
+    d = np.linalg.norm(np.asarray(xr) - mu01, axis=1)
+    k = int(np.argmin(d))
+    assert d[k] < 1e-6
+    np.testing.assert_allclose(float(wr[k]), 1.1, rtol=1e-6)
+    # merged covariance = moment match of the pair
+    dd = np.asarray(xs[:2]) - mu01
+    pm = (0.6 * (np.asarray(ps[0]) + np.outer(dd[0], dd[0]))
+          + 0.5 * (np.asarray(ps[1]) + np.outer(dd[1], dd[1]))) / 1.1
+    np.testing.assert_allclose(np.asarray(pr[k]), pm, atol=1e-6)
+    # distinct modes survive unmerged
+    assert min(np.linalg.norm(np.asarray(xr) - np.asarray(xs[2]), axis=1)) < 1e-6
+    assert min(np.linalg.norm(np.asarray(xr) - np.asarray(xs[3]), axis=1)) < 1e-6
+    # m_out >= M: identity + zero padding
+    xr2, pr2, wr2 = gsf.cluster_reduce(xs, ps, w, 6)
+    np.testing.assert_array_equal(np.asarray(wr2[:4]), np.asarray(w))
+    assert float(wr2[4:].sum()) == 0.0
+    # slot starvation redistributes mass proportionally (m_out=1)
+    xr3, pr3, wr3 = gsf.cluster_reduce(xs, ps, w, 1, dist2=4.0)
+    np.testing.assert_allclose(float(wr3.sum()), float(w.sum()), rtol=1e-6)

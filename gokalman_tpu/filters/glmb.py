@@ -301,25 +301,40 @@ def step(model: Model, state: State, candidates, cand_mask, key=None):
         # p(gamma_i | rest) ∝ exp(laug[h, i, c]) over outcomes still
         # feasible (one-to-one on detections), then exact scoring.
         s_n = model.n_samples
-        gamma = jnp.zeros((h_max, s_n, l_tot), jnp.int32)  # all-dead
-        taken = jnp.zeros((h_max, s_n, m_max), bool)
-        keys = jax.random.split(key, model.gibbs_sweeps * l_tot)
-        ki = 0
-        for sweep in range(model.gibbs_sweeps):
-            for i in range(l_tot):
-                cur = gamma[:, :, i]  # [H, S]
-                det_oh = jax.nn.one_hot(cur - 2, m_max,
-                                        dtype=bool)  # [H, S, m]
-                taken = taken & ~det_oh
-                logits = jnp.broadcast_to(
-                    laug_c[:, None, i, :], (h_max, s_n, m_max + 2))
-                block = jnp.concatenate(
-                    [jnp.zeros((h_max, s_n, 2), bool), taken], axis=2)
-                logits = jnp.where(block, neg, logits)
-                c = jax.random.categorical(keys[ki], logits)  # [H, S]
-                ki += 1
-                gamma = gamma.at[:, :, i].set(c.astype(jnp.int32))
-                taken = taken | jax.nn.one_hot(c - 2, m_max, dtype=bool)
+        gamma0 = jnp.zeros((h_max, s_n, l_tot), jnp.int32)  # all-dead
+        taken0 = jnp.zeros((h_max, s_n, m_max), bool)
+
+        # One lax.scan over sweeps x slots: the original Python loop
+        # UNROLLED gibbs_sweeps * l_tot sampling blocks into the
+        # program — at serving configs (t_max 12, 4 sweeps = 64 blocks)
+        # that is exactly the compile-size blow-up the tunneled TPU
+        # backend punishes (same failure mode the dense-GN MHE hit).
+        # Scan keeps the program one block regardless of budget; the
+        # per-iteration key comes from fold_in (stream differs from the
+        # old split sequence — sampling only selects which children
+        # materialize, weights stay exact, tests pin statistics).
+        def gibbs_iter(carry, it):
+            gamma, taken = carry
+            i = it % l_tot
+            cur = jnp.take(gamma, i, axis=2)  # [H, S]
+            det_oh = jax.nn.one_hot(cur - 2, m_max,
+                                    dtype=bool)  # [H, S, m]
+            taken = taken & ~det_oh
+            logits = jnp.broadcast_to(
+                jnp.take(laug_c, i, axis=1)[:, None, :],
+                (h_max, s_n, m_max + 2))
+            block = jnp.concatenate(
+                [jnp.zeros((h_max, s_n, 2), bool), taken], axis=2)
+            logits = jnp.where(block, neg, logits)
+            c = jax.random.categorical(jax.random.fold_in(key, it),
+                                       logits)  # [H, S]
+            gamma = gamma.at[:, :, i].set(c.astype(jnp.int32))
+            taken = taken | jax.nn.one_hot(c - 2, m_max, dtype=bool)
+            return (gamma, taken), None
+
+        (gamma, _), _ = jax.lax.scan(
+            gibbs_iter, (gamma0, taken0),
+            jnp.arange(model.gibbs_sweeps * l_tot))
         # sample 0 is pinned to the all-dead child: it is always
         # feasible and carries the n=0 tail mass Gibbs chains drift
         # away from (measured: P(n=0) mass lost entirely without it)

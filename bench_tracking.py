@@ -35,6 +35,15 @@ import time
 sys.path.insert(0, ".")
 
 import jax
+
+# Persistent compile cache shared with bench.py: tracking-row compiles
+# dominate wall time on the tunneled backend; warm reruns start in
+# seconds.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.abspath(".jax_cache_tpu"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -72,6 +81,158 @@ def _cv_system(dt=1.0, q_scale=1e-3, r_scale=0.04):
 # separate — the standard association stress arc.
 X0_A = np.array([-5.0, 0.12, -5.0, 0.10])
 X0_B = np.array([5.0, -0.10, 5.0, -0.08])
+
+# ---------------------------------------------------------------------------
+# Lifecycle scene bank (round-4 judge task #2): staggered births and
+# deaths, cardinality 2 -> 3 -> 4 -> 3 -> 2 over the scene — the
+# problem the RFS tier exists for (unknown, time-varying target count),
+# where the constant-cardinality bank above only stresses association.
+# Spawn sites are FAR (±30) from every fixed birth prior (±5), so the
+# intensity filters acquire exclusively through measurement-driven
+# adaptive birth and the GNN tracker through its M/N initiation.
+M_LC = 12  # 4 target slots + 6 clutter + 2 padding
+N_LC = 4
+LC_X0 = np.array([
+    [-30.0, 0.10, -30.0, 0.08],
+    [30.0, -0.10, 30.0, -0.08],
+    [-30.0, 0.12, 30.0, -0.10],
+    [30.0, -0.12, -30.0, 0.10],
+])
+
+
+def _lc_schedule(t=None):
+    """Birth/death frames scaled to the scene length: births at
+    0, 0, T/5, 2T/5; deaths at 3T/5, 4T/5, T, T."""
+    t = T_FRAMES if t is None else t
+    births = np.array([0, 0, t // 5, 2 * t // 5])
+    deaths = np.array([3 * t // 5, 4 * t // 5, t, t])
+    return births, deaths
+
+
+def _gen_lifecycle_bank(key, b_scenes=None):
+    """Truths [B, T, 4, 4], alive [T, 4] (static schedule), candidate
+    frames [B, T, M_LC, 2], masks [B, T, M_LC].  A dead target's slot
+    is never valid; clutter slots always are; per-frame shuffle as in
+    `_gen_bank`."""
+    b_scenes = B_SCENES if b_scenes is None else b_scenes
+    f, q, h, r = _cv_system()
+    lq = jnp.linalg.cholesky(q + 1e-12 * jnp.eye(4, dtype=DTYPE))
+    births, deaths = _lc_schedule()
+    alive_np = ((np.arange(T_FRAMES)[:, None] >= births)
+                & (np.arange(T_FRAMES)[:, None] < deaths))  # [T, 4]
+    alive = jnp.asarray(alive_np)
+    x0s = jnp.asarray(LC_X0, DTYPE)
+
+    def gen_scene(k):
+        k0, kw, kv, kd, kc, kp = jax.random.split(k, 6)
+        x0 = x0s + 0.5 * jax.random.normal(k0, (N_LC, 4), DTYPE) \
+            * jnp.asarray([1.0, 0.05, 1.0, 0.05], DTYPE)
+        ws = jax.random.normal(kw, (T_FRAMES, N_LC, 4), DTYPE) @ lq.T
+
+        def body(x, w):
+            xn = x @ f.T + w
+            return xn, xn
+
+        _, truth = jax.lax.scan(body, x0, ws)  # [T, 4, 4]
+        z = truth[:, :, ::2] + SIGMA_R * jax.random.normal(
+            kv, (T_FRAMES, N_LC, 2), DTYPE)
+        detected = (jax.random.uniform(kd, (T_FRAMES, N_LC)) < PD) & alive
+        cands = (BOX * (jax.random.uniform(kc, (T_FRAMES, M_LC, 2),
+                                           dtype=DTYPE) - 0.5))
+        cands = cands.at[:, :N_LC, :].set(z)
+        mask = jnp.zeros((T_FRAMES, M_LC), bool)
+        mask = mask.at[:, :N_LC].set(detected)
+        mask = mask.at[:, N_LC:N_LC + N_CLUTTER].set(True)
+        perm = jax.vmap(lambda kk: jax.random.permutation(kk, M_LC))(
+            jax.random.split(kp, T_FRAMES))
+        cands = jnp.take_along_axis(cands, perm[:, :, None], axis=1)
+        mask = jnp.take_along_axis(mask, perm, axis=1)
+        return truth, cands, mask
+
+    keys = jax.random.split(key, b_scenes)
+    with jax.default_matmul_precision("float32"):  # see _gen_bank note
+        truth, cands, masks = jax.jit(jax.vmap(gen_scene))(keys)
+        jax.block_until_ready((truth, cands, masks))
+    return truth, cands, masks, alive_np
+
+
+def _lifecycle_scores(pos, est_mask, card, truth, alive_np):
+    """Shared read-out for the lifecycle rows.
+
+    pos [B, T, K, 2] extracted positions with est_mask [B, T, K] bool,
+    card [B, T] estimated cardinality, truth [B, T, 4, 4],
+    alive_np [T, 4].  Returns the score dict; every number is gated by
+    the caller.
+
+    Frames are split into STEADY (>= 8 frames past the last birth/death
+    transition, where the filter should hold the true count and track
+    tightly) and TRANSITION windows (the 8 frames after each of the
+    four mid-scene transitions, where OSPA legitimately spikes while
+    the filter acquires/drops).  Gating steady and transition frames
+    separately keeps the gates sharp: a filter that never reacts fails
+    the steady plateaus, one that reacts slowly fails the transition
+    recovery, and neither failure can hide in a pooled average.
+    """
+    alive = jnp.asarray(alive_np)
+    card_true = jnp.asarray(alive_np.sum(1).astype(np.float32))  # [T]
+
+    if pos.shape[2] > 8:
+        # diagnostics.ospa enumerates assignments exactly and caps
+        # padded sets at 8 slots; keep the 8 valid-first slots per
+        # frame (a frame with > 8 EXTRACTED tracks is already deep in
+        # cardinality-error territory — the dropped surplus would only
+        # lower the charged OSPA, and the cardinality gates catch it).
+        order = jnp.argsort(~est_mask, axis=-1, stable=True)[..., :8]
+        pos = jnp.take_along_axis(pos, order[..., None], axis=2)
+        est_mask = jnp.take_along_axis(est_mask, order, axis=2)
+
+    def one(e, em, tp, am):
+        return diagnostics.ospa(e, em, tp, am, 2.0)
+
+    o = jax.jit(jax.vmap(jax.vmap(one, in_axes=(0, 0, 0, 0)),
+                         in_axes=(0, 0, 0, None)))(
+        pos, est_mask, truth[:, :, :, ::2], alive)  # [B, T]
+
+    births, deaths = _lc_schedule()
+    transitions = sorted({int(x) for x in np.concatenate([births, deaths])
+                          if 0 < x < T_FRAMES})
+    settle = 8
+    frames = np.arange(T_FRAMES)
+    steady = frames >= settle
+    in_transition = np.zeros(T_FRAMES, bool)
+    for tr in transitions:
+        steady &= ~((frames >= tr) & (frames < tr + settle))
+        in_transition |= (frames >= tr) & (frames < tr + settle)
+    steady_j = jnp.asarray(steady)
+    trans_j = jnp.asarray(in_transition)
+
+    def masked_mean(x, m):
+        m_b = jnp.broadcast_to(m, x.shape)
+        return float(jnp.sum(x * m_b) / jnp.sum(m_b))
+
+    card_err = jnp.abs(card - card_true[None, :])  # [B, T]
+    scores = {
+        "ospa_steady": masked_mean(o, steady_j[None, :]),
+        "ospa_transition": masked_mean(o, trans_j[None, :]),
+        "card_mae_steady": masked_mean(card_err, steady_j[None, :]),
+        # plateau reads: the peak-cardinality window (all four alive)
+        # and the final window (two died) — together they pin that
+        # births AND deaths were both tracked, not one averaged lucky
+        # number.
+        "card_peak": masked_mean(
+            card, jnp.asarray((frames >= 2 * T_FRAMES // 5 + settle)
+                              & (frames < 3 * T_FRAMES // 5))[None, :]),
+        "card_end": masked_mean(
+            card, jnp.asarray(frames >= 4 * T_FRAMES // 5
+                              + settle)[None, :]),
+    }
+    scores["gates_pass"] = bool(
+        scores["ospa_steady"] < 0.6
+        and scores["ospa_transition"] < 1.4
+        and scores["card_mae_steady"] < 0.35
+        and 3.5 < scores["card_peak"] < 4.5
+        and 1.6 < scores["card_end"] < 2.4)
+    return scores
 
 
 def _gen_bank(key, n_targets):
@@ -201,9 +362,27 @@ def _slope_time(make_fn, sync_leaf):
     return max((t3 - t1) / 2.0, 1e-9), out1
 
 
-def _bank_runner(run_one, cands, masks, reduce_out):
+def _bank_runner(run_one, cands, masks, reduce_out, chunk=0):
     """Build make_fn(repeats): vmap run_one over the scene bank, roll
-    the bank per repeat so XLA cannot share the computations."""
+    the bank per repeat so XLA cannot share the computations.
+
+    `chunk` > 0 streams the bank through lax.map(batch_size=chunk)
+    instead of one flat vmap: peak HBM is one chunk's intermediates.
+    Needed for the lifecycle intensity rows — the 32x13-component
+    GM-PHD mixture update fused over 256 scenes x 200 frames tried a
+    66 GB intermediate on the 16 GB chip (measured OOM); 32-scene
+    chunks fit comfortably and the throughput read-out is unchanged
+    (the map is sequential, so the slope still measures per-scene
+    marginal cost)."""
+
+    def bank(c, m):
+        if chunk:
+            # lax.map(batch_size=k) vmaps k-element chunks internally
+            # and scans over them — same results as the flat vmap,
+            # peak memory of one chunk.
+            return jax.lax.map(lambda cm: run_one(*cm), (c, m),
+                               batch_size=chunk)
+        return jax.vmap(run_one)(c, m)
 
     def make(repeats):
         @jax.jit
@@ -212,7 +391,7 @@ def _bank_runner(run_one, cands, masks, reduce_out):
             for i in range(repeats):
                 c = jnp.roll(cands, shift + i, axis=0)
                 m = jnp.roll(masks, shift + i, axis=0)
-                outs.append(jax.vmap(run_one)(c, m))
+                outs.append(bank(c, m))
             return jax.tree.map(lambda *xs: sum(xs), *outs)
 
         return fn
@@ -504,6 +683,205 @@ def bench_glmb(bank2):
     })
 
 
+def bench_phd_lifecycle(bank):
+    """GM-PHD on the lifecycle bank: adaptive (measurement-driven)
+    birth does ALL the acquisition — the fixed birth prior sits at
+    (±5, ±5), the spawn sites at (±30, ±30)."""
+    truth, cands, masks, alive = bank
+    f, q, h, r = _cv_system()
+    bw, bm, bp = _birth()
+    model, state = phd.new(f, None, h, gn.noiseless(q, r), bw, bm, bp,
+                           p_survival=0.99, p_detect=PD,
+                           clutter=N_CLUTTER / BOX**2, j_max=32,
+                           adaptive_birth_w=0.02)
+
+    def run_one(c, m):
+        _, est = phd.run(model, state, c, m)
+        # cardinality read-out = EXTRACTED component count (w > 0.5,
+        # the Vo-Ma standard), not the intensity mass: with adaptive
+        # birth the mass carries a ~0.3 standing birth-component
+        # surplus by construction (measured), while the extraction
+        # count reads the staircase cleanly.
+        return (est.states[:, :8, ::2], est.weights[:, :8],
+                jnp.sum(est.weights > 0.5, axis=1).astype(DTYPE))
+
+    marginal, (pos, w, card) = _bank_runner(run_one, cands, masks,
+                                            lambda o: o[0][-1, -1, 0, 0],
+                                            chunk=32)
+    scores = _lifecycle_scores(pos, w > 0.5, card, truth, alive)
+    frames = B_SCENES * T_FRAMES
+    return emit({
+        "metric": "gm_phd_lifecycle_frames_per_sec",
+        "value": frames / marginal, "unit": "frames/s",
+        "bank_ms": 1e3 * marginal, "scenes": B_SCENES,
+        "frames": T_FRAMES, "m_max": M_LC, "j_max": 32,
+        "adaptive_birth": True, "cardinality_profile": "2-3-4-3-2",
+        **scores,
+    })
+
+
+def bench_cphd_lifecycle(bank):
+    """GM-CPHD on the lifecycle bank: the cardinality pmf must climb
+    the birth staircase and descend the death one."""
+    truth, cands, masks, alive = bank
+    f, q, h, r = _cv_system()
+    bw, bm, bp = _birth()
+    model, state = cphd.new(f, None, h, gn.noiseless(q, r), bw, bm, bp,
+                            p_survival=0.99, p_detect=PD,
+                            clutter_rate=float(N_CLUTTER),
+                            volume=BOX**2, n_max=12, j_max=32,
+                            adaptive_birth_w=0.02)
+
+    def run_one(c, m):
+        _, est = cphd.run(model, state, c, m)
+        return (est.states[:, :8, ::2], est.cardinality_map,
+                est.cardinality_mean)
+
+    marginal, (pos, cmap, card) = _bank_runner(run_one, cands, masks,
+                                               lambda o: o[0][-1, -1, 0, 0],
+                                               chunk=32)
+    # MAP-cardinality extraction (see bench_cphd)
+    top_k = jnp.arange(8)[None, None, :] < cmap[:, :, None]
+    scores = _lifecycle_scores(pos, top_k, card, truth, alive)
+    frames = B_SCENES * T_FRAMES
+    return emit({
+        "metric": "gm_cphd_lifecycle_frames_per_sec",
+        "value": frames / marginal, "unit": "frames/s",
+        "bank_ms": 1e3 * marginal, "scenes": B_SCENES,
+        "frames": T_FRAMES, "m_max": M_LC, "j_max": 32, "n_max": 12,
+        "adaptive_birth": True, "cardinality_profile": "2-3-4-3-2",
+        **scores,
+    })
+
+
+def bench_lmb_lifecycle(bank):
+    """LMB on the lifecycle bank: adaptive-birth Bernoulli tracks must
+    be created at births and their existence driven to zero at deaths."""
+    truth, cands, masks, alive = bank
+    f, q, h, r = _cv_system()
+    bw, bm, bp = _birth()
+    model, state = lmb.new(f, None, h, gn.noiseless(q, r),
+                           jnp.asarray([0.03, 0.03], DTYPE), bm, bp,
+                           m_max=M_LC, p_survival=0.99, p_detect=PD,
+                           clutter=N_CLUTTER / BOX**2, t_max=12,
+                           assoc="bp", bp_iters=10,
+                           adaptive_birth_r=0.05)
+
+    def run_one(c, m):
+        _, est = lmb.run(model, state, c, m)
+        # cardinality read-out = confirmed-track count (r > 0.5, the
+        # Bernoulli-track standard): sum-of-existence carries the
+        # standing sub-threshold adaptive-birth mass (~+0.4 measured)
+        return (est.states[:, :8, ::2], est.existence[:, :8],
+                est.n_confirmed.astype(DTYPE))
+
+    marginal, (pos, ex, nt) = _bank_runner(run_one, cands, masks,
+                                           lambda o: o[0][-1, -1, 0, 0],
+                                           chunk=32)
+    scores = _lifecycle_scores(pos, ex > 0.5, nt, truth, alive)
+    frames = B_SCENES * T_FRAMES
+    return emit({
+        "metric": "lmb_lifecycle_frames_per_sec",
+        "value": frames / marginal, "unit": "frames/s",
+        "bank_ms": 1e3 * marginal, "scenes": B_SCENES,
+        "frames": T_FRAMES, "m_max": M_LC, "t_max": 12,
+        "adaptive_birth": True, "cardinality_profile": "2-3-4-3-2",
+        **scores,
+    })
+
+
+def bench_tracker_lifecycle(bank):
+    """GNN tracker on the lifecycle bank: the M/N lifecycle (3-hit
+    confirmation, 4-miss deletion) is the component under test —
+    tracks must auto-initiate at each birth and delete after each
+    death."""
+    truth, cands, masks, alive = bank
+    f, q, h, r = _cv_system()
+    p0_new = jnp.diag(jnp.asarray([1.0, 0.5, 1.0, 0.5], DTYPE))
+    model, state = tracker.new(f, None, h, gn.noiseless(q, r),
+                               n_slots=M_LC, p0_new=p0_new, gate=16.0,
+                               confirm_hits=3, delete_misses=4)
+
+    def run_one(c, m):
+        _, est = tracker.run(model, state, c, m)
+        return est.states[:, :, ::2], est.status == 2, est.n_confirmed
+
+    marginal, (pos, conf, ncf) = _bank_runner(
+        run_one, cands, masks, lambda o: o[0][-1, -1, 0, 0], chunk=32)
+    scores = _lifecycle_scores(pos, conf, ncf.astype(DTYPE), truth, alive)
+    frames = B_SCENES * T_FRAMES
+    return emit({
+        "metric": "gnn_tracker_lifecycle_frames_per_sec",
+        "value": frames / marginal, "unit": "frames/s",
+        "bank_ms": 1e3 * marginal, "scenes": B_SCENES,
+        "frames": T_FRAMES, "m_max": M_LC, "n_slots": M_LC,
+        "confirm_hits": 3, "delete_misses": 4,
+        "cardinality_profile": "2-3-4-3-2", **scores,
+    })
+
+
+def bench_glmb_dense(bank, b_scenes):
+    """delta-GLMB Gibbs at a scale where the exact backend is
+    INFEASIBLE (round-4 judge task #4): t_max=12 label slots over
+    M_LC=12 candidate slots means the exact ternary outcome table has
+    sum_k C(12,k)·P(12,k) ≈ 1.3e10 rows — five orders of magnitude
+    past the 500k host-enumeration guard — so Gibbs sampling over
+    child hypotheses is the only way to run this scene at all.  Birth
+    model: one Bernoulli slot per known spawn region (the standard
+    Vo-Vo GLMB design input), means at the schedule's expected
+    birth-time positions.  Scored with the same lifecycle gates as the
+    adaptive-birth rows."""
+    truth, cands, masks, alive = bank
+    truth, cands, masks = (truth[:b_scenes], cands[:b_scenes],
+                           masks[:b_scenes])
+    f, q, h, r = _cv_system()
+    births, _ = _lc_schedule()
+    fn = np.asarray(f, np.float64)
+    qn = np.asarray(q, np.float64)
+    bm = np.stack([np.linalg.matrix_power(fn, int(b)) @ LC_X0[i]
+                   for i, b in enumerate(births)])
+    # Honest birth covariances: push the spawn uncertainty (scene
+    # jitter) through the dynamics to each birth frame, accumulating
+    # process noise — by frame 80 the integrated velocity noise alone
+    # is sigma ~ 13 position units, so a fixed tight prior NEVER
+    # gates the late births in most scenes (measured: E[n] peak 3.3/4
+    # with sigma = 3; the push-forward prior recovers the staircase).
+    jit_p = np.diag([0.25, 0.25 * 0.05**2, 0.25, 0.25 * 0.05**2])
+    bp_rows = []
+    for b in births:
+        pb = jit_p.copy()
+        for _ in range(int(b)):
+            pb = fn @ pb @ fn.T + qn
+        bp_rows.append(pb + np.diag([1.0, 0.01, 1.0, 0.01]))
+    bp = jnp.asarray(np.stack(bp_rows), DTYPE)
+    br = jnp.full((N_LC,), 0.03, DTYPE)
+    model, state = glmb.new(f, None, h, gn.noiseless(q, r), br,
+                            jnp.asarray(bm, DTYPE), bp,
+                            m_max=M_LC, p_survival=0.99, p_detect=PD,
+                            clutter=N_CLUTTER / BOX**2, gate=16.0,
+                            t_max=12, h_max=64, assoc="gibbs",
+                            n_samples=32, gibbs_sweeps=4)
+    key = jax.random.PRNGKey(23)
+
+    def run_one(c, m):
+        _, est = glmb.run(model, state, c, m, key=key)
+        return est.map_states[:, :, ::2], est.map_alive, est.n_targets
+
+    marginal, (pos, alive_est, nt) = _bank_runner(
+        run_one, cands, masks, lambda o: o[0][-1, -1, 0, 0])
+    scores = _lifecycle_scores(pos, alive_est, nt, truth, alive)
+    frames = b_scenes * T_FRAMES
+    return emit({
+        "metric": "glmb_dense_frames_per_sec",
+        "value": frames / marginal, "unit": "frames/s",
+        "bank_ms": 1e3 * marginal, "scenes": b_scenes,
+        "frames": T_FRAMES, "m_max": M_LC, "t_max": 12, "h_max": 64,
+        "n_samples": 32, "gibbs_sweeps": 4, "assoc": "gibbs",
+        "exact_table_rows": "~1.3e10 (infeasible, 500k guard)",
+        "cardinality_profile": "2-3-4-3-2", **scores,
+    })
+
+
 def bench_fusion(bank2, key):
     """Track-to-track association + covariance-intersection fusion
     (fusion.associate_and_fuse) over every (scene, frame) as an
@@ -573,6 +951,8 @@ def main():
     dev = jax.devices()[0].platform
     bank1 = _gen_bank(jax.random.PRNGKey(11), n_targets=1)
     bank2 = _gen_bank(jax.random.PRNGKey(12), n_targets=2)
+    bank_lc = _gen_lifecycle_bank(jax.random.PRNGKey(14))
+    glmb_dense_scenes = int(os.environ.get("BENCH_GLMB_DENSE_SCENES", 32))
     rows = [
         bench_pdaf(bank1),
         bench_jpda(bank2),
@@ -583,6 +963,11 @@ def main():
         bench_lmb(bank2),
         bench_glmb(bank2),
         bench_fusion(bank2, jax.random.PRNGKey(13)),
+        bench_phd_lifecycle(bank_lc),
+        bench_cphd_lifecycle(bank_lc),
+        bench_lmb_lifecycle(bank_lc),
+        bench_tracker_lifecycle(bank_lc),
+        bench_glmb_dense(bank_lc, glmb_dense_scenes),
     ]
     ok = all(r["gates_pass"] for r in rows)
     emit({"metric": "tracking_tier_summary", "rows": len(rows),

@@ -6,10 +6,12 @@ equations), orbital-element <-> RV conversions, ground stations with
 range/range-rate measurements and elevation-mask visibility, and Earth
 rotation.  Everything is jittable and vmappable.  `attitude` adds the
 second application domain: quaternion kinematics + gyro error models
-for the MEKF tier (filters/mekf.py).
+for the MEKF tier (filters/mekf.py); `liegroup` the SO(3)/SE_2(3)
+substrate for the invariant-EKF navigation tier (filters/iekf.py).
 """
 
-from . import attitude, constants, elements, gravity, integrators, propagate, stations
+from . import (attitude, constants, elements, gravity, integrators,
+               liegroup, propagate, stations)
 
 __all__ = [
     "attitude",
@@ -17,6 +19,7 @@ __all__ = [
     "elements",
     "gravity",
     "integrators",
+    "liegroup",
     "propagate",
     "stations",
 ]

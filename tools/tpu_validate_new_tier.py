@@ -9,8 +9,8 @@ Covers: studentt, VB-adaptive, quadrature, MEKF+USQUE, JPDA, IMM-PDAF,
 tracker, GM-PHD, GM-CPHD, OSPA, OOSM/fading/correlated, IPLF/augmented
 UKF, rigid-body dynamics, two-filter/Kim/EnKS/FFBS smoothers, PMB,
 fusion (CI/ICI/associate), SISE, GLR, N4SID, set-membership
-(23 legs: + lmb, glmb, time_scan, mhe_compile).  Prints one OK line per leg; any exception is a real
-failure.
+(24 legs: + lmb, glmb, time_scan, mhe_compile, iekf).  Prints one OK
+line per leg; any exception is a real failure.
 """
 
 import sys
@@ -386,6 +386,41 @@ def main():
         elapsed = time.time() - t0
         assert np.isfinite(np.asarray(e.state)).all()
         assert elapsed < 120.0, f"MHE compile+run took {elapsed:.0f}s"
+
+    @leg("iekf")
+    def _():
+        from gokalman_tpu.dynamics import liegroup as lg
+        from gokalman_tpu.filters import iekf
+        dtn = 0.05
+        t_n = 40
+        g3 = jnp.asarray([0.0, 0.0, -9.81], jnp.float32)
+        lms = jnp.asarray([[10.0, 0.0, 0.0], [0.0, 10.0, 0.0],
+                           [-5.0, -5.0, 4.0]], jnp.float32)
+        om = jnp.asarray(0.1 * rng.standard_normal((t_n, 3)), jnp.float32)
+        acc = jnp.tile(jnp.asarray([0.0, 0.0, 9.81], jnp.float32),
+                       (t_n, 1))
+        # truth: identity-start strapdown; estimate starts offset
+        r_t, v_t, p_t = jnp.eye(3, dtype=jnp.float32), \
+            jnp.zeros(3, jnp.float32), jnp.zeros(3, jnp.float32)
+        obs = []
+        for k in range(t_n):
+            a_w = r_t @ acc[k] + g3
+            r_n = r_t @ lg.so3_exp(om[k] * dtn)
+            p_t = p_t + v_t * dtn + 0.5 * a_w * dtn**2
+            v_t = v_t + a_w * dtn
+            r_t = r_n
+            obs.append((lms - p_t) @ r_t)
+        obs = jnp.stack(obs)
+        m, s = iekf.new(jnp.eye(3, dtype=jnp.float32),
+                        jnp.zeros(3, jnp.float32),
+                        jnp.asarray([1.0, -1.0, 0.5], jnp.float32),
+                        jnp.eye(9, dtype=jnp.float32), lms,
+                        sigma_g=1e-3, sigma_a=1e-2, sigma_meas=0.05,
+                        dt=dtn, g=g3)
+        _, e = jax.jit(lambda o1, o2, o3: iekf.run(m, s, o1, o2, o3))(
+            om, acc, obs)
+        assert np.isfinite(np.asarray(e.pos)).all()
+        assert float(jnp.linalg.norm(e.pos[-1] - p_t)) < 0.1
 
     print("TPU-NEW-TIER-VALIDATION-OK", flush=True)
 

@@ -405,6 +405,14 @@ def emit(row):
     return row
 
 
+def stage(name):
+    """Stderr progress marker (bench.py leg idiom): a stall or timeout
+    names the stage it died in — measured need: a cold r05 run lost its
+    pool connection during bank generation and sat silent for 35 min
+    with nothing to show where."""
+    print(f"[bench_tracking] {name}", file=sys.stderr, flush=True)
+
+
 def bench_pdaf(bank1):
     """Single-target PDAF in clutter (pdaf.py; Bar-Shalom PDAF)."""
     truth, cands, masks = bank1
@@ -949,26 +957,33 @@ def main():
     backend_watchdog(float(os.environ.get("BENCH_BACKEND_TIMEOUT", 600)),
                      "bench_tracking")
     dev = jax.devices()[0].platform
+    stage("gen bank1")
     bank1 = _gen_bank(jax.random.PRNGKey(11), n_targets=1)
+    stage("gen bank2")
     bank2 = _gen_bank(jax.random.PRNGKey(12), n_targets=2)
+    stage("gen lifecycle bank")
     bank_lc = _gen_lifecycle_bank(jax.random.PRNGKey(14))
     glmb_dense_scenes = int(os.environ.get("BENCH_GLMB_DENSE_SCENES", 32))
-    rows = [
-        bench_pdaf(bank1),
-        bench_jpda(bank2),
-        bench_tracker(bank2),
-        bench_phd(bank2),
-        bench_cphd(bank2),
-        bench_pmb(bank2),
-        bench_lmb(bank2),
-        bench_glmb(bank2),
-        bench_fusion(bank2, jax.random.PRNGKey(13)),
-        bench_phd_lifecycle(bank_lc),
-        bench_cphd_lifecycle(bank_lc),
-        bench_lmb_lifecycle(bank_lc),
-        bench_tracker_lifecycle(bank_lc),
-        bench_glmb_dense(bank_lc, glmb_dense_scenes),
-    ]
+    rows = []
+    for name, fn in [
+        ("pdaf", lambda: bench_pdaf(bank1)),
+        ("jpda", lambda: bench_jpda(bank2)),
+        ("tracker", lambda: bench_tracker(bank2)),
+        ("phd", lambda: bench_phd(bank2)),
+        ("cphd", lambda: bench_cphd(bank2)),
+        ("pmb", lambda: bench_pmb(bank2)),
+        ("lmb", lambda: bench_lmb(bank2)),
+        ("glmb", lambda: bench_glmb(bank2)),
+        ("fusion", lambda: bench_fusion(bank2, jax.random.PRNGKey(13))),
+        ("phd_lifecycle", lambda: bench_phd_lifecycle(bank_lc)),
+        ("cphd_lifecycle", lambda: bench_cphd_lifecycle(bank_lc)),
+        ("lmb_lifecycle", lambda: bench_lmb_lifecycle(bank_lc)),
+        ("tracker_lifecycle", lambda: bench_tracker_lifecycle(bank_lc)),
+        ("glmb_dense",
+         lambda: bench_glmb_dense(bank_lc, glmb_dense_scenes)),
+    ]:
+        stage(f"row {name}")
+        rows.append(fn())
     ok = all(r["gates_pass"] for r in rows)
     emit({"metric": "tracking_tier_summary", "rows": len(rows),
           "backend": dev, "gates_pass": ok})

@@ -233,3 +233,26 @@ def test_checkpoint_roundtrips_assoc_scan_outputs(tmp_path):
                                   np.asarray(means))
     np.testing.assert_array_equal(np.asarray(back["covs"]),
                                   np.asarray(covs))
+
+
+def test_checkpoint_roundtrips_iekf_state(tmp_path):
+    """Round-5 tier: the IEKF State carries a 5x5 SE_2(3) group element
+    — the matrix leaf (and int step) must survive save/restore exactly."""
+    import jax
+    import numpy as np
+
+    from gokalman_tpu import checkpoint
+    from gokalman_tpu.dynamics import liegroup as lg
+    from gokalman_tpu.filters import iekf
+
+    lms = jnp.asarray([[5.0, 0.0, 0.0], [0.0, 5.0, 1.0]])
+    _, s = iekf.new(jnp.eye(3), jnp.ones(3), jnp.arange(3.0),
+                    jnp.eye(15) * 0.3, lms, 1e-3, 1e-2, 0.1, 0.02,
+                    with_bias=True)
+    s = s._replace(x=lg.se23_exp(jnp.arange(9.0) / 10.0) @ s.x,
+                   k=jnp.int32(17))
+    p = str(tmp_path / "iekf")
+    checkpoint.save(p, s)
+    back = checkpoint.restore(p, s)
+    for a, b in zip(jax.tree.leaves(s), jax.tree.leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -236,12 +236,19 @@ def enkf_l96_bench(n_members=1024, t_cycles=300, prefix="enkf_l96"):
 
         return fn
 
-    f1, f3 = make(1), make(3)
+    # R=1 vs R=5, not R=3: the true marginal here is ~7 ms per repeat
+    # while the tunnel's dispatch+read jitter is ~10 ms, and an r05 run
+    # measured t3 <= t1 — the (t3-t1)/2 slope hit the 1e-9 floor and
+    # reported a nonsense 3e14 member-steps/s.  Four intervals double
+    # the signal; the retry loop + degenerate flag make a noise-eaten
+    # slope impossible to mistake for a measurement.
+    r_hi = 5
+    f1, f5 = make(1), make(r_hi)
     mean1 = f1(jnp.int32(0))
     jax.block_until_ready(mean1)
     stage("R=1 compiled+run")
-    jax.block_until_ready(f3(jnp.int32(0)))
-    stage("R=3 compiled+run")
+    jax.block_until_ready(f5(jnp.int32(0)))
+    stage(f"R={r_hi} compiled+run")
     rmse = float(jnp.sqrt(jnp.mean((mean1 - truth)[t_cycles // 3:] ** 2)))
 
     def timed(fn, s):
@@ -250,16 +257,24 @@ def enkf_l96_bench(n_members=1024, t_cycles=300, prefix="enkf_l96"):
         _ = float(out[-1, 0])
         return time.perf_counter() - t0
 
-    t1 = min(timed(f1, s) for s in (1, 2, 3))
-    t3 = min(timed(f3, s) for s in (1, 2, 3))
-    marginal = max((t3 - t1) / 2.0, 1e-9)
+    slope = 0.0
+    for attempt in range(3):
+        t1 = min(timed(f1, s) for s in (1, 2, 3, 4, 5))
+        t5 = min(timed(f5, s) for s in (1, 2, 3, 4, 5))
+        slope = t5 - t1
+        if slope > 1e-3:
+            break
+        stage(f"degenerate slope {slope * 1e3:.2f} ms, retrying")
+    degenerate = slope <= 1e-3
+    marginal = max(slope / (r_hi - 1), 1e-9)
     return {
         f"{prefix}_member_steps_per_sec": n_members * t_cycles / marginal,
         f"{prefix}_cycles_per_sec": t_cycles / marginal,
         f"{prefix}_kernel_ms": 1e3 * marginal,
         f"{prefix}_shape": [n_members, n_state, t_cycles],
         f"{prefix}_rmse": rmse,
-        f"{prefix}_gate_pass": bool(rmse < 1.0),
+        f"{prefix}_slope_degenerate": bool(degenerate),
+        f"{prefix}_gate_pass": bool(rmse < 1.0 and not degenerate),
     }
 
 

@@ -31,6 +31,11 @@ Measurement forms:
   observation type Y = X^-1 b, the natural match for the
   right-invariant error: innovation z = Rhat y + phat - l with
   H = [-[l x], 0, I] independent of the state.
+- Body-frame velocity observations y = R^T v + w (wheel odometry,
+  Doppler radar/DVL; y = 0 with a small R is the classic ZUPT
+  zero-velocity update) — also an exact invariant form, via
+  b = e4: innovation z = vhat - Rhat y with H = [0, I, 0], again
+  state-independent.
 - World-frame position observations y = p + w (GPS): supported via the
   standard linearization H = [[phat x], 0, -I] (state-dependent — this
   observation type does not fit the right-invariant form; documented
@@ -69,6 +74,7 @@ class Model(NamedTuple):
     landmarks: jax.Array  # [L, 3] default world landmark positions
     r_land: jax.Array  # [3L, 3L] stacked landmark measurement noise
     r_gps: jax.Array  # [3, 3] position-observation noise
+    r_vel: jax.Array  # [3, 3] body-velocity-observation noise
     dt: float  # static IMU step (s)
     with_bias: bool  # static: estimate IMU biases (15-dim error state)
 
@@ -102,7 +108,7 @@ def _dim(with_bias: bool) -> int:
 
 def new(r0, v0, p0, cov0, landmarks, sigma_g, sigma_a, sigma_meas, dt,
         g=None, bias0=None, sigma_bg=0.0, sigma_ba=0.0,
-        with_bias: bool = False, sigma_gps=1.0):
+        with_bias: bool = False, sigma_gps=1.0, sigma_vel=0.1):
     """Build (Model, State).
 
     r0 [3,3] / v0 [3] / p0 [3]: initial attitude (body->world),
@@ -135,6 +141,7 @@ def new(r0, v0, p0, cov0, landmarks, sigma_g, sigma_a, sigma_meas, dt,
                   jnp.asarray(sigma_bg, dt_), jnp.asarray(sigma_ba, dt_),
                   lm, r_land,
                   jnp.asarray(sigma_gps, dt_) ** 2 * jnp.eye(3, dtype=dt_),
+                  jnp.asarray(sigma_vel, dt_) ** 2 * jnp.eye(3, dtype=dt_),
                   float(dt), bool(with_bias))
     return model, State(x0, bias0, cov0, jnp.int32(0))
 
@@ -219,19 +226,22 @@ def _apply_correction(model: Model, x, bias, xi):
 
 @linalg.highp
 def step(model: Model, state: State, gyro, accel, body_obs=None,
-         obs_mask=None, landmarks=None, gps_obs=None, gps_mask=None):
+         obs_mask=None, landmarks=None, gps_obs=None, gps_mask=None,
+         vel_obs=None, vel_mask=None):
     """One IEKF step: strapdown predict + stacked landmark update
-    (+ optional GPS position row block).
+    (+ optional GPS position and/or body-velocity row blocks).
 
     body_obs: [L, 3] body-frame observations of the landmarks
     (None = pure prediction); obs_mask: [L] bool validity (masked rows
     zero exactly — NaN poison in masked slots cannot leak, the
     repo-wide padded-mask contract); landmarks: [L, 3] per-step world
     positions overriding the model's; gps_obs: [3] world position
-    observation; gps_mask: scalar bool.
+    observation; gps_mask: scalar bool; vel_obs: [3] body-frame
+    velocity observation (odometer/Doppler; zeros = ZUPT) with
+    vel_mask: scalar bool.
     """
     x_pred, p_pred = predict(model, state, gyro, accel)
-    if body_obs is None and gps_obs is None:
+    if body_obs is None and gps_obs is None and vel_obs is None:
         est = Estimate(
             rot=x_pred[:3, :3], vel=x_pred[:3, 3], pos=x_pred[:3, 4],
             bias=state.bias,
@@ -272,6 +282,22 @@ def step(model: Model, state: State, gyro, accel, body_obs=None,
         rows_z.append(z)
         rows_r.append(n)
         rows_mask.append(jnp.repeat(mask, 3))
+
+    if vel_obs is not None:
+        # exact right-invariant form via b = e4: z = vhat - Rhat y
+        # ~= xi_nu - Rhat w, so H = [0, I, 0] (state-independent) and
+        # the noise maps through the attitude like the landmark rows
+        zv = v_hat - r_hat @ jnp.asarray(vel_obs)
+        cols = [z3, jnp.eye(3, dtype=dtype), z3]
+        if model.with_bias:
+            cols += [z3, z3]
+        hv = jnp.concatenate(cols, axis=1)
+        mv = (jnp.ones((), bool) if vel_mask is None
+              else jnp.asarray(vel_mask, bool))
+        rows_h.append(hv)
+        rows_z.append(zv)
+        rows_r.append(r_hat @ model.r_vel @ r_hat.T)
+        rows_mask.append(jnp.broadcast_to(mv, (3,)))
 
     if gps_obs is not None:
         # d_gps = y - phat = [phat x] xi_phi - xi_rho + w  (see module
@@ -316,20 +342,22 @@ def step(model: Model, state: State, gyro, accel, body_obs=None,
 
 @linalg.highp
 def run(model: Model, state: State, gyros, accels, body_obs=None,
-        obs_masks=None, landmarks=None, gps_obs=None, gps_masks=None):
+        obs_masks=None, landmarks=None, gps_obs=None, gps_masks=None,
+        vel_obs=None, vel_masks=None):
     """lax.scan driver: gyros/accels [T, 3]; body_obs [T, L, 3] with
     obs_masks [T, L] bool (or None for dead reckoning); landmarks
     [T, L, 3] per-step world positions or None; gps_obs [T, 3] with
-    gps_masks [T] bool or None."""
+    gps_masks [T] bool or None; vel_obs [T, 3] with vel_masks [T]."""
 
     def body(carry, xs):
-        w, a, obs, mask, lms, gobs, gmask = xs
-        return step(model, carry, w, a, obs, mask, lms, gobs, gmask)
+        w, a, obs, mask, lms, gobs, gmask, vobs, vmask = xs
+        return step(model, carry, w, a, obs, mask, lms, gobs, gmask,
+                    vobs, vmask)
 
     return jax.lax.scan(
         body, state,
         (gyros, accels, body_obs, obs_masks, landmarks, gps_obs,
-         gps_masks))
+         gps_masks, vel_obs, vel_masks))
 
 
 def error_twist(state_or_x, r_true, v_true, p_true):

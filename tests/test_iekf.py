@@ -431,3 +431,65 @@ def test_masked_landmark_poison():
     np.testing.assert_array_equal(np.asarray(e_zero.covariance),
                                   np.asarray(e_poison.covariance))
     assert bool(jnp.all(jnp.isfinite(e_poison.covariance)))
+
+
+def test_zupt_velocity_observation():
+    """Body-velocity rows (odometry / ZUPT): a stationary vehicle with
+    a noisy IMU — dead reckoning drifts quadratically; ZUPT
+    (vel_obs = 0) pins velocity and bounds the drift.  Also pins the
+    exact-form reduction: with certain attitude and a noiseless gyro
+    the velocity update equals the hand-computed scalar KF."""
+    rng = np.random.default_rng(10)
+    dt = 0.02
+    t_steps = 500
+    sigma_a = 0.05
+    # stationary truth: R = I, v = 0, p = 0; accelerometer measures
+    # the specific force -R^T g plus noise
+    gyros = jnp.zeros((t_steps, 3))
+    accels = (-np.asarray(G) + sigma_a / np.sqrt(dt)
+              * rng.standard_normal((t_steps, 3)))
+    accels = jnp.asarray(accels)
+
+    cov0 = jnp.diag(jnp.asarray([1e-6] * 3 + [1e-2] * 3 + [1e-2] * 3))
+    model, state = iekf.new(jnp.eye(3), jnp.zeros(3), jnp.zeros(3),
+                            cov0, LANDMARKS, sigma_g=1e-4,
+                            sigma_a=sigma_a, sigma_meas=0.1, dt=dt,
+                            g=G, sigma_vel=0.01)
+    # dead reckoning
+    _, e_dr = iekf.run(model, state, gyros, accels)
+    # ZUPT at every step
+    _, e_z = iekf.run(model, state, gyros, accels,
+                      vel_obs=jnp.zeros((t_steps, 3)),
+                      vel_masks=jnp.ones(t_steps, bool))
+    vel_dr = float(jnp.linalg.norm(e_dr.vel[-1]))
+    vel_z = float(jnp.linalg.norm(e_z.vel[-1]))
+    pos_z = float(jnp.linalg.norm(e_z.pos[-1]))
+    assert vel_z < 0.05 * vel_dr + 1e-3, (vel_z, vel_dr)
+    assert pos_z < 0.1 * float(jnp.linalg.norm(e_dr.pos[-1]))
+
+    # masked vel rows with NaN poison == pure prediction (states)
+    _, e_masked = iekf.run(model, state, gyros, accels,
+                           vel_obs=jnp.full((t_steps, 3), jnp.nan),
+                           vel_masks=jnp.zeros(t_steps, bool))
+    np.testing.assert_array_equal(np.asarray(e_masked.pos),
+                                  np.asarray(e_dr.pos))
+    assert bool(jnp.all(jnp.isfinite(e_masked.covariance)))
+
+    # exact-form reduction: sigma_g = 0, attitude certain, one step —
+    # v-update is the standard KF with H = I on v (hand-computed)
+    m1, s1 = iekf.new(jnp.eye(3), jnp.asarray([0.5, 0.0, 0.0]),
+                      jnp.zeros(3),
+                      jnp.diag(jnp.asarray([0.0] * 3 + [1.0] * 3
+                                           + [0.0] * 3)),
+                      LANDMARKS, sigma_g=0.0, sigma_a=0.1,
+                      sigma_meas=0.1, dt=dt, g=G, sigma_vel=0.2)
+    y_vel = jnp.asarray([0.1, -0.2, 0.3])
+    _, e1 = iekf.step(m1, s1, jnp.zeros(3), -jnp.asarray(G),
+                      vel_obs=y_vel)
+    # predicted v = 0.5 e1 (accel cancels gravity exactly); P_vv after
+    # predict = 1 + sigma_a^2 dt; K = P/(P + R); v+ = v - K (v - y)
+    p_pred = 1.0 + 0.1**2 * dt
+    k_gain = p_pred / (p_pred + 0.2**2)
+    v_pred = np.array([0.5, 0.0, 0.0])
+    v_expect = v_pred - k_gain * (v_pred - np.asarray(y_vel))
+    np.testing.assert_allclose(np.asarray(e1.vel), v_expect, atol=1e-9)

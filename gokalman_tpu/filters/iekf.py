@@ -360,6 +360,73 @@ def run(model: Model, state: State, gyros, accels, body_obs=None,
          gps_masks, vel_obs, vel_masks))
 
 
+@linalg.highp
+def rts_smoother(model: Model, est: Estimate, gyros, accels):
+    """Invariant RTS smoother over a recorded filter trace
+    (Chauchat, Barrau & Bonnabel 2018 — the Lie-group RTS run in the
+    right-invariant error coordinates, where the IMU error dynamics
+    are exactly log-linear so the linear-RTS backward recursion needs
+    no relinearization):
+
+        d_{k+1} = log( X_{k+1|T} X_{k+1|k}^{-1} )   (+ bias rows)
+        G_k     = P_{k|k} Phi_{k+1}^T P_{k+1|k}^{-1}
+        X_{k|T} = exp( (G_k d_{k+1})_pose ) X_{k|k}
+        P_{k|T} = P_{k|k} + G_k (P_{k+1|T} - P_{k+1|k}) G_k^T
+
+    `est` is the stacked Estimate from `run` ([T] leading axis);
+    `gyros`/`accels` the same IMU streams — the predicted means
+    X_{k+1|k} are re-derived from the posterior at k (P_{k+1|k} is
+    already recorded in est.pred_covariance).  Returns
+    (rot, vel, pos, bias, covariance) arrays, [T] leading axis.
+    """
+    t_steps = est.covariance.shape[0]
+    d = est.covariance.shape[-1]
+
+    def strapdown(rot, vel, pos, bias, gyro, accel):
+        w = gyro - bias[:3]
+        a_w = rot @ (accel - bias[3:]) + model.g
+        dt = model.dt
+        return lg.se23_from_rvp(rot @ lg.so3_exp(w * dt),
+                                vel + a_w * dt,
+                                pos + vel * dt + 0.5 * a_w * dt**2)
+
+    def backward(carry, xs):
+        x_next_s, bias_next_s, p_next_s = carry
+        rot_k, vel_k, pos_k, bias_k, p_k, p_pred_next, gyro_n, acc_n = xs
+        x_pred_next = strapdown(rot_k, vel_k, pos_k, bias_k,
+                                gyro_n, acc_n)
+        state_k = State(lg.se23_from_rvp(rot_k, vel_k, pos_k), bias_k,
+                        p_k, jnp.int32(0))
+        phi, _ = _phi_q(model, state_k)
+        # smoothed-minus-predicted in invariant coordinates
+        d_pose = lg.se23_log(x_next_s @ lg.se23_inv(x_pred_next))
+        if model.with_bias:
+            d_vec = jnp.concatenate([d_pose, bias_next_s - bias_k])
+        else:
+            d_vec = d_pose
+        gain = linalg.solve_psd(p_pred_next, phi @ p_k).T
+        xi = gain @ d_vec
+        x_s = lg.se23_exp(xi[:9]) @ lg.se23_from_rvp(rot_k, vel_k, pos_k)
+        bias_s = bias_k + (xi[9:] if model.with_bias else 0.0)
+        p_s = linalg.sym(p_k + gain @ (p_next_s - p_pred_next) @ gain.T)
+        r_s, v_s, pp_s = lg.se23_rvp(x_s)
+        return (x_s, bias_s, p_s), (r_s, v_s, pp_s, bias_s, p_s)
+
+    x_last = lg.se23_from_rvp(est.rot[-1], est.vel[-1], est.pos[-1])
+    init = (x_last, est.bias[-1], est.covariance[-1])
+    xs = (est.rot[:-1], est.vel[:-1], est.pos[:-1], est.bias[:-1],
+          est.covariance[:-1], est.pred_covariance[1:],
+          jnp.asarray(gyros)[1:], jnp.asarray(accels)[1:])
+    _, (r_s, v_s, p_s, b_s, cov_s) = jax.lax.scan(
+        backward, init, xs, reverse=True)
+    rot = jnp.concatenate([r_s, est.rot[-1:]], axis=0)
+    vel = jnp.concatenate([v_s, est.vel[-1:]], axis=0)
+    pos = jnp.concatenate([p_s, est.pos[-1:]], axis=0)
+    bias = jnp.concatenate([b_s, est.bias[-1:]], axis=0)
+    cov = jnp.concatenate([cov_s, est.covariance[-1:]], axis=0)
+    return rot, vel, pos, bias, cov
+
+
 def error_twist(state_or_x, r_true, v_true, p_true):
     """Right-invariant error twist xi = log(Xhat X_true^-1) — the
     coordinates the covariance lives in; NEES = xi^T P^-1 xi (pose

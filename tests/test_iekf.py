@@ -493,3 +493,97 @@ def test_zupt_velocity_observation():
     v_pred = np.array([0.5, 0.0, 0.0])
     v_expect = v_pred - k_gain * (v_pred - np.asarray(y_vel))
     np.testing.assert_allclose(np.asarray(e1.vel), v_expect, atol=1e-9)
+
+
+def test_invariant_rts_reduces_to_linear_rts():
+    """Certain attitude + noiseless gyro: the invariant RTS must equal
+    the textbook linear RTS on [v; p] digit-level (same reduction
+    scenario as the filter pin)."""
+    rng = np.random.default_rng(12)
+    dt = 0.1
+    t_steps = 40
+    sigma_a, sigma_m = 0.05, 0.3
+    omegas, a_bodies, rs, vs, ps = _truth_arc(rng, t_steps, dt)
+    a_noise = jnp.asarray(rng.standard_normal((t_steps, 3))) * (
+        sigma_a / np.sqrt(dt))
+    obs = _landmark_obs(rng, rs, ps, sigma_m)
+
+    # phi-block 1e-12, not 0: the RTS inverts the full 9x9 predicted
+    # covariance, and an exactly singular P_pred (certain attitude)
+    # NaNs the solve; epsilon variance leaves the [v,p] answer
+    # unchanged at the 1e-8 pin level
+    cov0 = (jnp.zeros((9, 9)).at[3:, 3:].set(jnp.eye(6) * 2.0)
+            .at[:3, :3].set(jnp.eye(3) * 1e-12))
+    model, state = iekf.new(jnp.eye(3), jnp.asarray([1.0, 0.0, 0.0]),
+                            jnp.zeros(3), cov0, LANDMARKS, sigma_g=0.0,
+                            sigma_a=sigma_a, sigma_meas=sigma_m, dt=dt,
+                            g=G)
+    _, est = iekf.run(model, state, omegas, a_bodies + a_noise, obs)
+    r_s, v_s, p_s, _, cov_s = iekf.rts_smoother(model, est, omegas,
+                                                a_bodies + a_noise)
+
+    # textbook RTS on the recorded [v; p] filter trace
+    eye3 = np.eye(3)
+    f = np.block([[eye3, np.zeros((3, 3))], [eye3 * dt, eye3]])
+    xf = np.concatenate([np.asarray(est.vel), np.asarray(est.pos)], 1)
+    pf = np.asarray(est.covariance)[:, 3:, 3:]
+    pp = np.asarray(est.pred_covariance)[:, 3:, 3:]
+    xs = xf.copy()
+    psm = pf.copy()
+    for k in range(t_steps - 2, -1, -1):
+        # predicted mean from posterior k (known control input)
+        a_w = np.asarray(est.rot[k]) @ np.asarray(
+            a_bodies[k + 1] + a_noise[k + 1]) + np.asarray(G)
+        u = np.concatenate([a_w * dt, 0.5 * a_w * dt**2])
+        x_pred = f @ xf[k] + u
+        g_k = pf[k] @ f.T @ np.linalg.inv(pp[k + 1])
+        xs[k] = xf[k] + g_k @ (xs[k + 1] - x_pred)
+        psm[k] = pf[k] + g_k @ (psm[k + 1] - pp[k + 1]) @ g_k.T
+    np.testing.assert_allclose(np.asarray(v_s), xs[:, :3], atol=1e-8)
+    np.testing.assert_allclose(np.asarray(p_s), xs[:, 3:], atol=1e-8)
+    np.testing.assert_allclose(np.asarray(cov_s)[:, 3:, 3:], psm,
+                               atol=1e-8)
+    # attitude untouched (certain up to the epsilon prior)
+    np.testing.assert_allclose(np.asarray(r_s), np.asarray(est.rot),
+                               atol=1e-8)
+
+
+def test_invariant_rts_improves_track():
+    """Sparse fixes: smoothing beats filtering on position RMS,
+    matches the filter at the final step, and bridges a measurement
+    outage (the filter drifts through it; the smoother interpolates)."""
+    rng = np.random.default_rng(13)
+    dt = 0.02
+    t_steps = 600
+    sigma_g, sigma_a, sigma_m = 0.002, 0.02, 0.05
+    omegas, a_bodies, rs, vs, ps = _truth_arc(rng, t_steps, dt)
+    obs = _landmark_obs(rng, rs, ps, sigma_m)
+    gn = sigma_g / np.sqrt(dt) * jnp.asarray(
+        rng.standard_normal((t_steps, 3)))
+    an = sigma_a / np.sqrt(dt) * jnp.asarray(
+        rng.standard_normal((t_steps, 3)))
+    masks = np.zeros((t_steps, LANDMARKS.shape[0]), bool)
+    masks[::25, :] = True
+    masks[200:400, :] = False  # 4 s outage
+
+    cov0 = jnp.diag(jnp.asarray([1e-4] * 3 + [1e-2] * 3 + [1e-2] * 3))
+    model, state = iekf.new(jnp.eye(3), jnp.asarray([1.0, 0.0, 0.0]),
+                            jnp.zeros(3), cov0, LANDMARKS,
+                            sigma_g=sigma_g, sigma_a=sigma_a,
+                            sigma_meas=sigma_m, dt=dt, g=G)
+    _, est = iekf.run(model, state, omegas + gn, a_bodies + an, obs,
+                      obs_masks=jnp.asarray(masks))
+    r_s, v_s, p_s, _, cov_s = iekf.rts_smoother(model, est,
+                                                omegas + gn,
+                                                a_bodies + an)
+
+    err_f = np.linalg.norm(np.asarray(est.pos) - np.asarray(ps), axis=1)
+    err_s = np.linalg.norm(np.asarray(p_s) - np.asarray(ps), axis=1)
+    assert err_s.mean() < 0.7 * err_f.mean(), (err_s.mean(),
+                                               err_f.mean())
+    # outage bridged: smoother error inside the gap well below filter
+    assert err_s[200:400].mean() < 0.5 * err_f[200:400].mean()
+    # endpoint identity
+    np.testing.assert_array_equal(np.asarray(p_s[-1]),
+                                  np.asarray(est.pos[-1]))
+    assert bool(jnp.all(jnp.isfinite(cov_s)))

@@ -421,6 +421,16 @@ def main():
             om, acc, obs)
         assert np.isfinite(np.asarray(e.pos)).all()
         assert float(jnp.linalg.norm(e.pos[-1] - p_t)) < 0.1
+        # invariant RTS over the trace + a ZUPT/odometry step
+        _, v_s, p_s, _, _ = jax.jit(
+            lambda e_, o1, o2: iekf.rts_smoother(m, e_, o1, o2))(
+            e, om, acc)
+        assert np.isfinite(np.asarray(p_s)).all()
+        assert float(jnp.linalg.norm(p_s[-1] - e.pos[-1])) == 0.0
+        _, ez = jax.jit(lambda o1, o2: iekf.run(
+            m, s, o1, o2, vel_obs=jnp.zeros((t_n, 3), jnp.float32),
+            vel_masks=jnp.ones(t_n, bool)))(om, acc)
+        assert np.isfinite(np.asarray(ez.vel)).all()
 
     print("TPU-NEW-TIER-VALIDATION-OK", flush=True)
 
